@@ -1,0 +1,639 @@
+# Copyright (c) 2026
+# MIT License
+"""Gather-free horizon / shadow sweeps over a regular heightfield.
+
+This module is the TPU-native replacement for the reference's ray-tracing
+core (Embree BVH traversal driven by per-ray elevation searches,
+horizon_comp.cpp:241-498 and shadow_comp.cpp:386-605).
+
+Key idea
+--------
+On a regular grid, the sample position at ground distance ``s`` along a fixed
+azimuth is the *same shift* for every grid cell.  So instead of casting rays
+per cell, we march distance samples and read a *shifted view* of the entire
+(outer) heightfield — four aligned slices blended bilinearly — and update a
+running maximum of the elevation-angle ratio per cell.  Every operation is a
+dense element-wise VPU op; there are no gathers and no divergent loops.
+
+Accuracy model
+--------------
+* Near/mid field (mip level 0): along a straight ground track the bilinear
+  surface is piecewise *quadratic* in the arc length.  Each marching step
+  reads the segment midpoint and endpoint, fits the quadratic through
+  (previous endpoint, midpoint, endpoint), and maximises the elevation-angle
+  ratio ``(h(t) - z0) / (s + t)`` over the segment *analytically* (the
+  stationary point solves a scalar quadratic).  This resolves the strong
+  angular sensitivity at small distances that pure point sampling misses.
+* Far field: a conservative max-mip pyramid (:mod:`.mip`) with
+  distance-proportional steps; the angular error is bounded by
+  ``footprint / distance * slope``, controlled by the ``hori_acc`` knob
+  (the reference quantises elevation to ``hori_acc / 5`` steps,
+  horizon_comp.cpp:721-731).
+
+Geometry modes
+--------------
+* *planar* — surface normal is the global +z axis everywhere (reference
+  examples with ``vec_norm=(0,0,1)``); ratio = ``(h - z0) / s``.
+* *general* — per-cell orthonormal basis (east, north, norm), e.g. a curved
+  Earth ENU grid planarised by :mod:`horayzon_tpu.regrid`.  The ratio is
+  measured in each cell's local tangent frame while the march follows the
+  domain-mean azimuth direction (the per-cell azimuth-plane deviation is far
+  below the azimuth bin width).
+
+The whole sweep is differentiable w.r.t. the heightfield (gradients flow
+through the bilinear blends, max-pools and running maxima).
+"""
+
+import dataclasses
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from horayzon_tpu.ops import mip
+
+_NEG_INIT = -3.0e38
+_DEN_EPS = 1.0e-6
+
+
+# ---------------------------------------------------------------------------
+# Sample schedule
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class Phase:
+    """One constant-mip-level marching phase."""
+    level: int          # mip level
+    pad: int            # padding (in level cells) applied to this level
+    num: int            # number of samples / segments
+
+    def key(self):
+        return (self.level, self.pad, self.num)
+
+
+@dataclasses.dataclass(frozen=True)
+class Schedule:
+    """Distance-sample schedule shared by all azimuths.
+
+    Phase 0 (level 0) distances are *segment endpoints* (segment k spans
+    [s_k - step, s_k]); higher-level phases are point samples."""
+    phases: tuple               # tuple of Phase
+    s_values: tuple             # tuple of np.ndarray (one per phase) [metre]
+    step: float                 # base step [metre]
+    dist: float                 # search distance [metre]
+
+    @property
+    def num_levels(self):
+        return max(p.level for p in self.phases) + 1
+
+    @property
+    def pads(self):
+        pads = [0] * self.num_levels
+        for p in self.phases:
+            pads[p.level] = max(pads[p.level], p.pad)
+        return tuple(pads)
+
+    @property
+    def num_samples(self):
+        # level-0 segments cost two heightfield reads (midpoint + endpoint)
+        return sum(2 * p.num if p.level == 0 else p.num
+                   for p in self.phases)
+
+    def meta(self):
+        """Hashable static description."""
+        return tuple(p.key() for p in self.phases)
+
+
+def build_schedule(step, dist_search, rel_err, max_level=10):
+    """Build the marching schedule.
+
+    Parameters
+    ----------
+    step : float
+        Base sample spacing = finest grid spacing [metre].
+    dist_search : float
+        Horizon search distance [metre].
+    rel_err : float
+        Far-field relative-footprint error budget: the dense (exact) phase
+        runs to ``step / rel_err``, after which each phase doubles the step
+        and the mip level.
+    max_level : int
+        Maximum mip level to use.
+    """
+    if dist_search <= 0.0:
+        raise ValueError("dist_search must be positive")
+    rel_err = float(np.clip(rel_err, 1.0e-4, 0.2))
+    n_dense = int(math.ceil(1.0 / rel_err))
+
+    phases = []
+    s_arrays = []
+    # Dense phase at native resolution: segment endpoints step, 2*step, ...
+    n0 = min(n_dense, int(math.ceil(dist_search / step)))
+    s = np.arange(1, n0 + 1, dtype=np.float64) * step
+    s_end = float(s[-1])
+    pad0 = int(math.ceil(s_end / step)) + 2
+    phases.append(Phase(level=0, pad=pad0, num=len(s)))
+    s_arrays.append(s.astype(np.float32))
+
+    level = 1
+    while s_end < dist_search - 1.0e-6:
+        lvl = min(level, max_level)
+        step_l = step * (2 ** level)
+        if lvl == max_level or level >= 60:
+            s_cap = dist_search
+        else:
+            s_cap = min(dist_search, n_dense * step_l)
+        s = np.arange(s_end + step_l, s_cap + 0.5 * step_l, step_l,
+                      dtype=np.float64)
+        if len(s) == 0:
+            s = np.array([s_cap], dtype=np.float64)
+        s = np.minimum(s, dist_search)
+        s_end = float(s[-1])
+        pad = int(math.ceil(s_end / (step * 2 ** lvl))) + 2
+        phases.append(Phase(level=lvl, pad=pad, num=len(s)))
+        s_arrays.append(s.astype(np.float32))
+        if lvl == max_level:
+            break
+        level += 1
+
+    return Schedule(phases=tuple(phases), s_values=tuple(s_arrays),
+                    step=float(step), dist=float(dist_search))
+
+
+def default_rel_err(hori_acc_deg):
+    """Far-field error budget matching the reference ``hori_acc`` contract."""
+    return math.tan(math.radians(max(hori_acc_deg, 0.02)))
+
+
+# ---------------------------------------------------------------------------
+# Shifted reads
+# ---------------------------------------------------------------------------
+
+def _read_dense(zp, i0, j0, fi, fj, inner_shape):
+    """Bilinear read of the level-0 heightfield shifted by a fractional
+    offset: four aligned slices blended on the VPU (replaces per-ray
+    rtcOccluded1 BVH traversal, horizon_comp.cpp:241-262)."""
+    in0, in1 = inner_shape
+    win = lax.dynamic_slice(zp, (i0, j0), (in0 + 1, in1 + 1))
+    top = (1.0 - fj) * win[:-1, :-1] + fj * win[:-1, 1:]
+    bot = (1.0 - fj) * win[1:, :-1] + fj * win[1:, 1:]
+    return (1.0 - fi) * top + fi * bot
+
+
+def _mip_slice_size(n, level):
+    return (n + 2 ** level - 2) // (2 ** level) + 1
+
+
+def _read_mip(zp, level, base_i, base_j, r_i, r_j, inner_shape):
+    """Nearest read of mip level ``level`` upsampled to inner resolution.
+
+    ``base`` is the padded-level slice start, ``r`` the sub-level alignment
+    remainder (both may be traced)."""
+    in0, in1 = inner_shape
+    k = 2 ** level
+    si = _mip_slice_size(in0, level)
+    sj = _mip_slice_size(in1, level)
+    win = lax.dynamic_slice(zp, (base_i, base_j), (si, sj))
+    up = jnp.repeat(jnp.repeat(win, k, axis=0), k, axis=1)
+    return lax.dynamic_slice(up, (r_i, r_j), (in0, in1))
+
+
+# ---------------------------------------------------------------------------
+# Segment-exact maximisation (level-0 phase)
+# ---------------------------------------------------------------------------
+
+def _segment_quad_coeffs(h0, hm, h1, length):
+    """Quadratic h(t) = a t^2 + b t + h0 through the segment's three reads."""
+    inv_l = 1.0 / length
+    a = (2.0 * h1 + 2.0 * h0 - 4.0 * hm) * inv_l * inv_l
+    b = (4.0 * hm - 3.0 * h0 - h1) * inv_l
+    return a, b
+
+
+def _inside_mask(i0, j0, fi, fj, pad0, inner_shape, outer_shape):
+    """Per-cell mask: bilinear read lies fully inside the real heightfield.
+
+    ``i0``/``j0`` are padded slice starts (include offset+pad+floor(shift)),
+    ``fi``/``fj`` the fractional parts.  A read whose 4-corner stencil
+    touches the sentinel padding yields a blend of real terrain and the pad
+    value; such reads are conservative for the running maximum but must not
+    feed the quadratic segment fit (they would fabricate phantom peaks)."""
+    in0, in1 = inner_shape
+    h, w = outer_shape
+    pos_i0 = i0 - pad0  # global floor row of cell 0's read
+    pos_j0 = j0 - pad0
+    ri = jnp.arange(in0, dtype=jnp.int32).reshape(in0, 1)
+    cj = jnp.arange(in1, dtype=jnp.int32).reshape(1, in1)
+    top = ri + pos_i0
+    left = cj + pos_j0
+    ok_i = (top >= 0) & (top + 1 <= h - 1)
+    ok_j = (left >= 0) & (left + 1 <= w - 1)
+    return ok_i & ok_j
+
+
+def _segment_interior_t(a, b, h0, z0, s_start, length):
+    """Interior stationary point of (h(t) - z0)/(s_start + t) on (0, length).
+
+    Solves a t^2 + 2 a s t + (b s - h0 + z0) = 0 for t; returns (t, valid).
+    """
+    rad = s_start * s_start - (b * s_start - h0 + z0) / jnp.where(
+        jnp.abs(a) > 1e-12, a, jnp.float32(1e-12))
+    safe_rad = jnp.maximum(rad, 0.0)
+    t = -s_start + jnp.sqrt(safe_rad)
+    valid = (jnp.abs(a) > 1e-12) & (rad > 0.0) & (t > 1e-3) \
+        & (t < length - 1e-3)
+    return jnp.clip(t, 0.0, length), valid
+
+
+
+
+# ---------------------------------------------------------------------------
+# Host-side shift precomputation (horizon: static azimuths)
+# ---------------------------------------------------------------------------
+
+def _dense_entry(di, dj, off0, off1, pad):
+    fi0 = np.floor(di)
+    fj0 = np.floor(dj)
+    return {
+        "i0": (off0 + pad + fi0).astype(np.int32),
+        "j0": (off1 + pad + fj0).astype(np.int32),
+        "fi": (di - fi0).astype(np.float32),
+        "fj": (dj - fj0).astype(np.float32),
+    }
+
+
+def horizon_shift_tables(schedule, azim, dx, dy, offset, u_xy=None):
+    """Per-(azimuth, sample) shift tables as numpy arrays.
+
+    Parameters
+    ----------
+    schedule : Schedule
+    azim : (A,) array of azimuth angles [radian], clockwise from North.
+    dx, dy : float
+        Grid spacing along the second / first axis (``dy`` is signed: grids
+        stored north-up have ``dy < 0``).
+    offset : (off0, off1)
+        Start of the inner domain within the outer grid.
+    u_xy : optional (A, 2) array
+        Pre-computed horizontal marching directions (x, y components) per
+        azimuth; defaults to ``(sin a, cos a)`` (planar ENU convention,
+        matching horizon_comp.cpp:318-320 with east=x, north=y).
+
+    Returns
+    -------
+    list of dict (one per phase):
+        level 0:  midpoint entries ``m_i0, m_j0, m_fi, m_fj``, endpoint
+                  entries ``e_i0, e_j0, e_fi, e_fj`` (int32/float32 (A, M)),
+                  plus ``s`` (endpoint distance) and ``s_start`` float32.
+        level>0:  ``base_i, base_j, r_i, r_j`` int32 (A, M), ``s`` float32.
+    """
+    azim = np.asarray(azim, dtype=np.float64)
+    a_num = azim.shape[0]
+    off0, off1 = offset
+    if u_xy is None:
+        u_xy = np.stack([np.sin(azim), np.cos(azim)], axis=-1)
+    ux = np.asarray(u_xy[:, 0:1], dtype=np.float64)
+    uy = np.asarray(u_xy[:, 1:2], dtype=np.float64)
+
+    tables = []
+    for phase, s in zip(schedule.phases, schedule.s_values):
+        s64 = s.astype(np.float64)[None, :]          # (1, M)
+        if phase.level == 0:
+            s_mid = s64 - schedule.step / 2.0
+            s_start = s64 - schedule.step
+            entry = {}
+            mid = _dense_entry(s_mid * uy / dy, s_mid * ux / dx,
+                               off0, off1, phase.pad)
+            end = _dense_entry(s64 * uy / dy, s64 * ux / dx,
+                               off0, off1, phase.pad)
+            for k, v in mid.items():
+                entry["m_" + k] = v
+            for k, v in end.items():
+                entry["e_" + k] = v
+            entry["s"] = np.broadcast_to(s64, (a_num, len(s))) \
+                .astype(np.float32)
+            entry["s_start"] = np.broadcast_to(s_start, (a_num, len(s))) \
+                .astype(np.float32)
+            tables.append(entry)
+        else:
+            k = 2 ** phase.level
+            di = s64 * uy / dy
+            dj = s64 * ux / dx
+            ci = off0 + np.round(di).astype(np.int64)
+            cj = off1 + np.round(dj).astype(np.int64)
+            tables.append({
+                "base_i": (ci // k + phase.pad).astype(np.int32),
+                "base_j": (cj // k + phase.pad).astype(np.int32),
+                "r_i": (ci % k).astype(np.int32),
+                "r_j": (cj % k).astype(np.int32),
+                "s": np.broadcast_to(s64, (a_num, len(s)))
+                .astype(np.float32),
+            })
+    return tables
+
+
+# ---------------------------------------------------------------------------
+# Horizon sweep core
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sched_meta", "pads", "inner_shape", "planar",
+                     "track_dist"))
+def _horizon_core(z_outer, z_org, z_inner, geom, tables, trig, *, sched_meta,
+                  pads, inner_shape, planar, track_dist):
+    """Jitted horizon sweep.
+
+    z_outer : (H, W) outer heightfield
+    z_org   : (in0, in1) ray-origin elevation (terrain + lift)
+    z_inner : (in0, in1) terrain elevation at the inner cells
+    geom    : None (planar) or dict with per-cell float32 (in0, in1) fields
+              ``ex, ey, ez, nx2, ny2, nz2, mx, my, mz`` = east / north / norm
+              components
+    tables  : shift tables (pytree of (A, M) arrays)
+    trig    : dict with ``sin``, ``cos``, ``ux``, ``uy`` (A,) arrays
+    """
+    num_levels = len(pads)
+    pyramid = mip.padded_pyramid(z_outer, num_levels, pads)
+    step = None  # derived per phase from s / s_start
+
+    def azim_body(_, xs):
+        if not planar:
+            sin_a = xs["sin"]
+            cos_a = xs["cos"]
+            # Per-cell in-plane azimuth direction u = sin*east + cos*north
+            ucx = sin_a * geom["ex"] + cos_a * geom["nx2"]
+            ucy = sin_a * geom["ey"] + cos_a * geom["ny2"]
+            ucz = sin_a * geom["ez"] + cos_a * geom["nz2"]
+            # Global horizontal marching direction
+            gx = xs["ux"]
+            gy = xs["uy"]
+            a_n = gx * geom["mx"] + gy * geom["my"]     # u_bar . norm_xy
+            a_u = gx * ucx + gy * ucy                   # u_bar . u_cell_xy
+            nz = geom["mz"]
+
+        def ratio_at(h, s):
+            """Elevation-angle ratio of sample (h at arc s) in the local
+            frame."""
+            if planar:
+                return (h - z_org) / s
+            dh = h - z_org
+            num = s * a_n + dh * nz
+            den = s * a_u + dh * ucz
+            return jnp.where(den > _DEN_EPS,
+                             num / jnp.maximum(den, _DEN_EPS),
+                             jnp.where(num > 0.0, -_NEG_INIT, _NEG_INIT))
+
+        ratio0 = jnp.full(inner_shape, _NEG_INIT, dtype=jnp.float32)
+        dist0 = jnp.zeros(inner_shape, dtype=jnp.float32)
+        valid0 = jnp.ones(inner_shape, dtype=bool)
+
+        carry = (ratio0, dist0, z_inner, valid0)
+
+        def upd(ratio, dist, r_new, s_new):
+            if track_dist:
+                dist = jnp.where(r_new > ratio, s_new, dist)
+            return jnp.maximum(ratio, r_new), dist
+
+        outer_shape = z_outer.shape
+        for p, (level, pad, _) in enumerate(sched_meta):
+            ph = xs[f"p{p}"]
+            zp = pyramid[level]
+            if level == 0:
+                def body0(c, x, pad=pad):
+                    ratio, dist, h_prev, v_prev = c
+                    hm = _read_dense(zp, x["m_i0"], x["m_j0"],
+                                     x["m_fi"], x["m_fj"], inner_shape)
+                    he = _read_dense(zp, x["e_i0"], x["e_j0"],
+                                     x["e_fi"], x["e_fj"], inner_shape)
+                    s_end = x["s"]
+                    s_start = x["s_start"]
+                    length = s_end - s_start
+                    # Endpoint contribution (sentinel blends are
+                    # conservative: large negative ratios never win)
+                    ratio, dist = upd(ratio, dist, ratio_at(he, s_end),
+                                      s_end)
+                    # Interior quadratic maximum (bilinear surface along a
+                    # straight track is piecewise quadratic); only where all
+                    # three reads are fully in-domain
+                    v_mid = _inside_mask(x["m_i0"], x["m_j0"], x["m_fi"],
+                                         x["m_fj"], pad, inner_shape,
+                                         outer_shape)
+                    v_end = _inside_mask(x["e_i0"], x["e_j0"], x["e_fi"],
+                                         x["e_fj"], pad, inner_shape,
+                                         outer_shape)
+                    a, b = _segment_quad_coeffs(h_prev, hm, he, length)
+                    t, valid = _segment_interior_t(a, b, h_prev, z_org,
+                                                   s_start, length)
+                    valid = valid & v_prev & v_mid & v_end
+                    h_t = a * t * t + b * t + h_prev
+                    s_t = s_start + t
+                    r_int = jnp.where(valid & (s_t > _DEN_EPS),
+                                      ratio_at(h_t,
+                                               jnp.maximum(s_t, _DEN_EPS)),
+                                      _NEG_INIT)
+                    ratio, dist = upd(ratio, dist, r_int, s_t)
+                    return (ratio, dist, he, v_end), None
+                carry, _ = lax.scan(body0, carry, ph)
+            else:
+                def bodyl(c, x, level=level):
+                    ratio, dist, h_prev, v_prev = c
+                    h = _read_mip(zp, level, x["base_i"], x["base_j"],
+                                  x["r_i"], x["r_j"], inner_shape)
+                    ratio, dist = upd(ratio, dist, ratio_at(h, x["s"]),
+                                      x["s"])
+                    return (ratio, dist, h_prev, v_prev), None
+                carry, _ = lax.scan(bodyl, carry, ph)
+
+        ratio, dist, _, _ = carry
+        hori = jnp.arctan(ratio)
+        return None, (hori, dist)
+
+    xs_all = dict(trig)
+    for p, t in enumerate(tables):
+        xs_all[f"p{p}"] = t
+    _, (hori_a, dist_a) = lax.scan(azim_body, None, xs_all)
+    # (A, in0, in1) -> (in0, in1, A)
+    out = jnp.moveaxis(hori_a, 0, -1)
+    if track_dist:
+        return out, jnp.moveaxis(dist_a, 0, -1)
+    return out, None
+
+
+def horizon_sweep(z_outer, *, dx, dy, offset, inner_shape, azim, dist_search,
+                  hori_acc=0.25, elev_ang_low_lim=-15.0,
+                  elev_ang_up_lim=89.98, ray_org_elev=0.01, geom=None,
+                  u_xy=None, rel_err=None, max_level=10, track_dist=False,
+                  schedule=None):
+    """Compute horizon elevation angles for a gridded domain.
+
+    TPU equivalent of ``horizon_gridded_comp`` (horizon_comp.cpp:629-822);
+    all azimuths and all cells are computed in one fused sweep.
+
+    Parameters
+    ----------
+    z_outer : (H, W) array
+        Outer-domain heightfield (z/elevation of each vertex) [metre].
+    dx, dy : float
+        Grid spacing (dy signed; north-up grids have dy < 0).
+    offset : (off0, off1)
+        Inner-domain offset within the outer grid (horizon.pyx:112-115).
+    inner_shape : (in0, in1)
+    azim : (A,) array [radian]
+    dist_search : float [metre]
+    hori_acc : float [degree] — accuracy knob (drives the sample density).
+    geom : optional dict of per-cell basis fields for the general mode (see
+        :func:`_horizon_core`); ``None`` selects the planar fast path.
+    u_xy : optional (A, 2) horizontal marching directions (general mode).
+    track_dist : bool — also return the distance at which the horizon was
+        found (reference ray_*_hori_dist, horizon_comp.cpp:519-612).
+
+    Returns
+    -------
+    hori : (in0, in1, A) float32 [radian], clipped to
+        [elev_ang_low_lim, elev_ang_up_lim]
+    dist : (in0, in1, A) float32 [metre] or None
+    """
+    z_outer = jnp.asarray(z_outer, dtype=jnp.float32)
+    step = min(abs(dx), abs(dy))
+    if rel_err is None:
+        rel_err = default_rel_err(hori_acc)
+    if schedule is None:
+        schedule = build_schedule(step, dist_search, rel_err,
+                                  max_level=max_level)
+    azim = np.asarray(azim, dtype=np.float64)
+    tables_np = horizon_shift_tables(schedule, azim, dx, dy, offset,
+                                     u_xy=u_xy)
+    tables = jax.tree_util.tree_map(jnp.asarray, tables_np)
+    if u_xy is None:
+        u_xy = np.stack([np.sin(azim), np.cos(azim)], axis=-1)
+    trig = {
+        "sin": jnp.asarray(np.sin(azim), dtype=jnp.float32),
+        "cos": jnp.asarray(np.cos(azim), dtype=jnp.float32),
+        "ux": jnp.asarray(u_xy[:, 0], dtype=jnp.float32),
+        "uy": jnp.asarray(u_xy[:, 1], dtype=jnp.float32),
+    }
+    off0, off1 = offset
+    in0, in1 = inner_shape
+    z_inner = lax.dynamic_slice(z_outer, (off0, off1), (in0, in1))
+    planar = geom is None
+    if planar:
+        z_org = z_inner + jnp.float32(ray_org_elev)
+        geom_in = None
+    else:
+        geom_in = {k: jnp.asarray(v, dtype=jnp.float32)
+                   for k, v in geom.items()}
+        z_org = z_inner + jnp.float32(ray_org_elev) * geom_in["mz"]
+
+    hori, dist = _horizon_core(
+        z_outer, z_org, z_inner, geom_in, tables, trig,
+        sched_meta=schedule.meta(), pads=schedule.pads,
+        inner_shape=tuple(inner_shape), planar=planar,
+        track_dist=track_dist)
+    lo = math.radians(elev_ang_low_lim)
+    hi = math.radians(elev_ang_up_lim)
+    hori = jnp.clip(hori, lo, hi)
+    return (hori, dist) if track_dist else (hori, None)
+
+
+# ---------------------------------------------------------------------------
+# Shadow sweep core (traced marching direction)
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sched_meta", "pads", "offset", "inner_shape"))
+def _shadow_metric_core(z_outer, z_org, z_inner, m_slope, u_cells, s_phases,
+                        *, sched_meta, pads, offset, inner_shape):
+    """Maximum over the sun ray of ``h(s) - (z_org + s * m_slope)``.
+
+    ``u_cells`` is the traced horizontal marching direction (2,) in *grid
+    cells per metre*: ``(ui, uj) = (uy/dy, ux/dx)``; ``m_slope`` is the
+    per-cell sun-ray slope dz/ds [m per metre of horizontal arc].  A positive
+    result means the sun ray is occluded by terrain (the vectorised
+    equivalent of reference shadow_comp.cpp:454-467, rtcOccluded1 with
+    tfar = inf).  Level-0 segments use the interior quadratic maximum like
+    the horizon sweep (here the stationary point is simply the parabola
+    vertex of ``h(t) - m t``).
+    """
+    num_levels = len(pads)
+    pyramid = mip.padded_pyramid(z_outer, num_levels, pads)
+    metric = jnp.full(inner_shape, _NEG_INIT, dtype=jnp.float32)
+    off0, off1 = offset
+    ui = u_cells[0]   # row cells per metre
+    uj = u_cells[1]   # column cells per metre
+
+    def dense_start(s):
+        di = s * ui
+        dj = s * uj
+        fi0 = jnp.floor(di)
+        fj0 = jnp.floor(dj)
+        return (fi0.astype(jnp.int32), fj0.astype(jnp.int32),
+                di - fi0, dj - fj0)
+
+    h_prev = z_inner
+    v_prev = jnp.ones(inner_shape, dtype=bool)
+    outer_shape = z_outer.shape
+    for p, (level, pad, _) in enumerate(sched_meta):
+        s_arr = s_phases[p]
+        zp = pyramid[level]
+        if level == 0:
+            def body0(c, s, zp=zp, pad=pad):
+                metric, h_prev, v_prev, s_prev = c
+                length = s - s_prev
+                i0m, j0m, fim, fjm = dense_start(s - length / 2.0)
+                im = i0m + (off0 + pad)
+                jm = j0m + (off1 + pad)
+                hm = _read_dense(zp, im, jm, fim, fjm, inner_shape)
+                i0e, j0e, fie, fje = dense_start(s)
+                ie = i0e + (off0 + pad)
+                je = j0e + (off1 + pad)
+                he = _read_dense(zp, ie, je, fie, fje, inner_shape)
+                new = jnp.maximum(metric, he - z_org - s * m_slope)
+                # Interior parabola vertex of g(t) = h(t) - m_slope * t
+                v_mid = _inside_mask(im, jm, fim, fjm, pad, inner_shape,
+                                     outer_shape)
+                v_end = _inside_mask(ie, je, fie, fje, pad, inner_shape,
+                                     outer_shape)
+                a, b = _segment_quad_coeffs(h_prev, hm, he, length)
+                t = (m_slope - b) / jnp.where(jnp.abs(a) > 1e-12,
+                                              2.0 * a, jnp.float32(1e-12))
+                valid = (jnp.abs(a) > 1e-12) & (a < 0.0) \
+                    & (t > 0.0) & (t < length) \
+                    & v_prev & v_mid & v_end
+                g_t = (a * t * t + b * t + h_prev
+                       - z_org - (s_prev + t) * m_slope)
+                new = jnp.maximum(new, jnp.where(valid, g_t, _NEG_INIT))
+                return (new, he, v_end, s), None
+            (metric, h_prev, v_prev, _), _ = lax.scan(
+                body0, (metric, h_prev, v_prev, jnp.float32(0.0)), s_arr)
+        else:
+            k = 2 ** level
+            def bodyl(c, s, k=k, zp=zp, pad=pad, level=level):
+                ci = jnp.round(s * ui).astype(jnp.int32) + off0
+                cj = jnp.round(s * uj).astype(jnp.int32) + off1
+                base_i = jnp.floor_divide(ci, k) + pad
+                base_j = jnp.floor_divide(cj, k) + pad
+                r_i = jnp.mod(ci, k)
+                r_j = jnp.mod(cj, k)
+                h = _read_mip(zp, level, base_i, base_j, r_i, r_j,
+                              inner_shape)
+                return jnp.maximum(c, h - z_org - s * m_slope), None
+            metric, _ = lax.scan(bodyl, metric, s_arr)
+    return metric
+
+
+def shadow_metric(z_outer, z_org, z_inner, m_slope, u_cells, schedule,
+                  offset, inner_shape):
+    """Run the shadow occlusion sweep; see :func:`_shadow_metric_core`."""
+    s_phases = tuple(jnp.asarray(s) for s in schedule.s_values)
+    return _shadow_metric_core(
+        z_outer, z_org, z_inner, m_slope,
+        jnp.asarray(u_cells, dtype=jnp.float32),
+        s_phases,
+        sched_meta=schedule.meta(),
+        pads=schedule.pads, offset=(int(offset[0]), int(offset[1])),
+        inner_shape=tuple(inner_shape))

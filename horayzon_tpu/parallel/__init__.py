@@ -1,0 +1,6 @@
+# Copyright (c) 2026
+# MIT License
+"""Device meshes and sharded sweep entry points (multi-chip scaling)."""
+
+from horayzon_tpu.parallel import mesh
+from horayzon_tpu.parallel import shard

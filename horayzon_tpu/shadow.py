@@ -1,0 +1,267 @@
+# Copyright (c) 2026
+# MIT License
+"""Shadow maps and shortwave-radiation correction factors.
+
+TPU-native equivalent of reference ``horayzon/shadow.pyx`` +
+``shadow_comp.cpp``: a :class:`Terrain` object is initialised once with the
+DEM and per-cell vectors (the reference builds the Embree BVH once,
+shadow_comp.cpp:318-380) and then queried per sun position.
+
+TPU-first differences:
+
+* The per-cell occlusion ray toward the sun (shadow_comp.cpp:454-467) becomes
+  one shifted-slice sweep along the sun's horizontal direction
+  (:func:`horayzon_tpu.ops.sweep.shadow_metric`).
+* Sun positions batch along a leading time axis (``shadow_batch`` /
+  ``sw_dir_cor_batch``) — the reference iterates time steps in Python
+  (e.g. examples/shadow/gridded_curved_DEM_SRTM.py:190-266).
+* The terrain data live in device HBM; there is no keep-alive contract on
+  caller arrays (the reference stores raw NumPy pointers,
+  shadow_comp.cpp:332-346).
+"""
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from horayzon_tpu import terrain as _terrain
+from horayzon_tpu.ops import mip as _mip
+from horayzon_tpu.ops import refraction as _refraction
+from horayzon_tpu.ops import sweep as _sweep
+
+_RAY_ORG_ELEV = 0.05  # hard-coded lift of the ray origin [m]
+                      # (shadow_comp.cpp:388,497)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sched_meta", "pads", "offset", "inner_shape",
+                     "refrac_cor", "mode", "ang_max"))
+def _sun_step(z_outer, fields, sun_position, *, sched_meta, pads, offset,
+              inner_shape, refrac_cor, mode, ang_max):
+    """One sun position -> shadow mask (mode='shadow') or correction factor
+    (mode='sw_dir_cor').  Mirrors CppTerrain::shadow / ::sw_dir_cor
+    (shadow_comp.cpp:386-605)."""
+    x_in = fields["x_in"]          # (in0, in1) planar x of inner cells
+    y_in = fields["y_in"]
+    z_org = fields["z_org"]        # terrain + norm_z * 0.05
+    norm = fields["norm"]          # (in0, in1, 3)
+    tilt = fields["tilt"]
+    mask = fields["mask"]          # bool
+    dxdy = fields["dxdy"]          # (2,) = (dx, dy)
+
+    # Per-cell sun unit vector (shadow_comp.cpp:421-425)
+    sx = sun_position[0] - x_in
+    sy = sun_position[1] - y_in
+    sz = sun_position[2] - z_org
+    mag = jnp.sqrt(sx * sx + sy * sy + sz * sz)
+    sun = jnp.stack([sx / mag, sy / mag, sz / mag], axis=-1)
+
+    if refrac_cor:
+        sun = _refraction.refract_sun_vector(sun, norm, fields["elevation"])
+    dot_ns = jnp.sum(norm * sun, axis=-1)
+    dot_ts = jnp.sum(tilt * sun, axis=-1)
+
+    # Global horizontal marching direction from the domain centre
+    cx = fields["center"][0]
+    cy = fields["center"][1]
+    kx = sun_position[0] - cx
+    ky = sun_position[1] - cy
+    k_norm = jnp.sqrt(kx * kx + ky * ky)
+    near_vertical = k_norm < 1.0e-6
+    kx_u = jnp.where(near_vertical, 1.0, kx / jnp.maximum(k_norm, 1e-6))
+    ky_u = jnp.where(near_vertical, 0.0, ky / jnp.maximum(k_norm, 1e-6))
+    u_cells = jnp.stack([ky_u / dxdy[1], kx_u / dxdy[0]])  # (ui, uj)
+
+    # Per-cell ray slope dz per metre of horizontal arc
+    adv = sun[..., 0] * kx_u + sun[..., 1] * ky_u
+    m_slope = sun[..., 2] / jnp.maximum(adv, 1.0e-4)
+
+    metric = _sweep._shadow_metric_core(
+        z_outer, z_org, fields["z_inner"], m_slope, u_cells,
+        fields["s_phases"],
+        sched_meta=sched_meta, pads=pads, offset=offset,
+        inner_shape=inner_shape)
+    occluded = jnp.logical_and(metric > 0.0, jnp.logical_not(near_vertical))
+
+    if mode == "shadow":
+        # Encoding 0 illuminated / 1 self-shaded / 2 terrain-shaded /
+        # 3 masked (shadow_comp.cpp:449-484)
+        out = jnp.where(dot_ts > 0.0,
+                        jnp.where(occluded, jnp.uint8(2), jnp.uint8(0)),
+                        jnp.uint8(1))
+        return jnp.where(mask, out, jnp.uint8(3))
+    else:
+        # Mueller & Scherer (2005) factor (shadow_comp.cpp:561-596)
+        dot_min = jnp.float32(math.cos(math.radians(ang_max)))
+        val = (dot_ts / jnp.maximum(dot_ns, dot_min)) * fields["surf_enl_fac"]
+        val = jnp.where(occluded, 0.0, val)
+        out = jnp.where(dot_ts > dot_min, val, 0.0)
+        return jnp.where(mask, out, fields["sw_dir_cor_fill"])
+
+
+class Terrain:
+    """Initialise-once / query-many terrain shadow engine.
+
+    Mirrors the reference Terrain cdef class (shadow.pyx:17-199)."""
+
+    def __init__(self):
+        self._initialised = False
+
+    def initialise(self, vert_grid, dem_dim_0, dem_dim_1,
+                   offset_0, offset_1,
+                   vec_tilt, vec_norm,
+                   surf_enl_fac, elevation, mask,
+                   geom_type="grid",
+                   sw_dir_cor_fill=np.nan,
+                   ang_max=89.0,
+                   refrac_cor=False,
+                   acc=0.25):
+        """Load DEM data and build the device-resident terrain state.
+
+        Signature mirrors shadow.pyx:27-147 (``acc`` is the TPU-native
+        accuracy knob driving the sweep sample density)."""
+        vec_tilt = np.asarray(vec_tilt, dtype=np.float32)
+        vec_norm = np.asarray(vec_norm, dtype=np.float32)
+        surf_enl_fac = np.asarray(surf_enl_fac, dtype=np.float32)
+        elevation = np.asarray(elevation, dtype=np.float32)
+        mask = np.asarray(mask)
+        # --- Validation (mirrors shadow.pyx:86-133) -----------------------
+        if ((offset_0 + vec_tilt.shape[0] > dem_dim_0)
+                or (offset_1 + vec_tilt.shape[1] > dem_dim_1)):
+            raise ValueError("inconsistency between input arguments "
+                             "'dem_dim_0', 'dem_dim_1', 'offset_0', "
+                             "'offset_1' and 'vec_norm'")
+        if ((vec_tilt.ndim != 3) or (vec_norm.ndim != 3)
+                or (vec_tilt.shape[2] != 3)
+                or (vec_tilt.shape != vec_norm.shape)):
+            raise ValueError("Inconsistent/incorrect shape of 'vec_tilt' "
+                             "and/or 'vec_norm'")
+        shp = vec_tilt.shape[:2]
+        if (surf_enl_fac.shape != shp or elevation.shape != shp
+                or mask.shape != shp):
+            raise ValueError("Inconsistent/incorrect shape of "
+                             "'surf_enl_fac', 'elevation' and/or 'mask'")
+        if ((np.abs((vec_tilt ** 2).sum(axis=2) - 1.0).max() > 1.0e-5)
+                or (np.abs((vec_norm ** 2).sum(axis=2) - 1.0).max()
+                    > 1.0e-5)):
+            raise ValueError("Vectors in 'vec_tilt' and/or 'vec_norm' are "
+                             "not normalised")
+        if geom_type not in ("triangle", "quad", "grid"):
+            raise ValueError("invalid input argument for geom_type")
+        if mask.dtype != np.uint8:
+            raise TypeError("data type of mask must be 'uint8'")
+        if (ang_max < 85.0) or (ang_max > 89.99):
+            raise TypeError("'ang_max' must be in the range [85.0, 89.99]")
+
+        x, y, z = _terrain.decompose_vert_grid(vert_grid, dem_dim_0,
+                                               dem_dim_1)
+        grid = _terrain.detect_regular_grid(x, y)
+        if grid is None:
+            raise ValueError("vert_grid is not a regular axis-aligned grid; "
+                             "planarise with horayzon_tpu.regrid first")
+        in0, in1 = shp
+        self.inner_shape = (in0, in1)
+        self.offset = (int(offset_0), int(offset_1))
+        self.grid = grid
+        self.ang_max = float(ang_max)
+        self.refrac_cor = bool(refrac_cor)
+
+        # Shadow rays run to the domain edge (tfar = inf in the reference,
+        # shadow_comp.cpp:462) -> schedule over the outer-domain diagonal.
+        diag = math.hypot(dem_dim_1 * abs(grid.dx),
+                          dem_dim_0 * abs(grid.dy))
+        step = min(abs(grid.dx), abs(grid.dy))
+        rel_err = _sweep.default_rel_err(acc)
+        self.schedule = _sweep.build_schedule(step, diag, rel_err)
+
+        x_axis = grid.x_axis()
+        y_axis = grid.y_axis()
+        x_in = np.broadcast_to(
+            x_axis[offset_1:offset_1 + in1][None, :], shp)
+        y_in = np.broadcast_to(
+            y_axis[offset_0:offset_0 + in0][:, None], shp)
+        z_in = z[offset_0:offset_0 + in0, offset_1:offset_1 + in1]
+        z_org = z_in + _RAY_ORG_ELEV * vec_norm[..., 2]
+        cx = 0.5 * (x_axis[0] + x_axis[-1])
+        cy = 0.5 * (y_axis[0] + y_axis[-1])
+
+        self._z_outer = jnp.asarray(z, dtype=jnp.float32)
+        self._fields = {
+            "x_in": jnp.asarray(x_in, dtype=jnp.float32),
+            "y_in": jnp.asarray(y_in, dtype=jnp.float32),
+            "z_org": jnp.asarray(z_org, dtype=jnp.float32),
+            "z_inner": jnp.asarray(z_in, dtype=jnp.float32),
+            "norm": jnp.asarray(vec_norm),
+            "tilt": jnp.asarray(vec_tilt),
+            "surf_enl_fac": jnp.asarray(surf_enl_fac),
+            "elevation": jnp.asarray(elevation),
+            "mask": jnp.asarray(mask == 1),
+            "sw_dir_cor_fill": jnp.float32(sw_dir_cor_fill),
+            "center": jnp.asarray([cx, cy], dtype=jnp.float32),
+            "dxdy": jnp.asarray([grid.dx, grid.dy], dtype=jnp.float32),
+            "s_phases": tuple(jnp.asarray(s)
+                              for s in self.schedule.s_values),
+        }
+        self._initialised = True
+        num_gc = int((mask == 1).sum())
+        print(f"Considered grid cells (number): {num_gc}")
+        if refrac_cor:
+            print("Account for atmospheric refraction")
+
+    # ------------------------------------------------------------------
+    def _check(self, sun_position):
+        if not self._initialised:
+            raise RuntimeError("Terrain not initialised")
+        sun_position = np.asarray(sun_position, dtype=np.float32)
+        if sun_position.ndim == 1:
+            if sun_position.size != 3:
+                raise ValueError("array 'sun_position' has incorrect shape")
+        elif sun_position.ndim != 2 or sun_position.shape[1] != 3:
+            raise ValueError("array 'sun_position' has incorrect shape")
+        return sun_position
+
+    def _run(self, sun_position, mode):
+        sun_position = self._check(sun_position)
+        kwargs = dict(sched_meta=self.schedule.meta(),
+                      pads=self.schedule.pads,
+                      offset=self.offset,
+                      inner_shape=self.inner_shape,
+                      refrac_cor=self.refrac_cor,
+                      mode=mode, ang_max=self.ang_max)
+        if sun_position.ndim == 1:
+            return _sun_step(self._z_outer, self._fields,
+                             jnp.asarray(sun_position), **kwargs)
+        step = functools.partial(_sun_step, **kwargs)
+        return jax.lax.map(
+            lambda sp: step(self._z_outer, self._fields, sp),
+            jnp.asarray(sun_position))
+
+    # ------------------------------------------------------------------
+    def shadow(self, sun_position, shadow_buffer=None):
+        """Shadow mask for one sun position (shadow.pyx:149-170).
+
+        0: illuminated, 1: self-shaded, 2: terrain-shaded, 3: masked."""
+        out = np.asarray(self._run(sun_position, "shadow"))
+        if shadow_buffer is not None:
+            shadow_buffer[:] = out
+        return out
+
+    def sw_dir_cor(self, sun_position, sw_dir_cor_buffer=None):
+        """Shortwave correction factor for one sun position
+        (shadow.pyx:172-199; Mueller & Scherer 2005)."""
+        out = np.asarray(self._run(sun_position, "sw_dir_cor"))
+        if sw_dir_cor_buffer is not None:
+            sw_dir_cor_buffer[:] = out
+        return out
+
+    def shadow_batch(self, sun_positions):
+        """Shadow masks for a (T, 3) sun track in one device call."""
+        return np.asarray(self._run(sun_positions, "shadow"))
+
+    def sw_dir_cor_batch(self, sun_positions):
+        """Correction factors for a (T, 3) sun track in one device call."""
+        return np.asarray(self._run(sun_positions, "sw_dir_cor"))

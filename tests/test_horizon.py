@@ -1,0 +1,148 @@
+import numpy as np
+import pytest
+
+from horayzon_tpu import auxiliary, horizon
+from horayzon_tpu.ops import sweep
+
+from reference_impl import brute_horizon, gaussian_bumps_terrain
+
+
+def _vert_grid_planar(z, dx=25.0, dy=-25.0, x0=0.0, y0=0.0):
+    h, w = z.shape
+    x1 = x0 + np.arange(w, dtype=np.float32) * dx
+    y1 = y0 + np.arange(h, dtype=np.float32) * dy
+    x, y = np.meshgrid(x1, y1)
+    return auxiliary.rearrange_pad_buffer(x.astype(np.float32),
+                                          y.astype(np.float32),
+                                          z.astype(np.float32))
+
+
+def _default_vectors(in0, in1):
+    vec_norm = np.zeros((in0, in1, 3), dtype=np.float32)
+    vec_norm[..., 2] = 1.0
+    vec_north = np.zeros((in0, in1, 3), dtype=np.float32)
+    vec_north[..., 1] = 1.0
+    return vec_norm, vec_north
+
+
+def test_flat_plane_horizon_zero():
+    z = np.zeros((64, 64), dtype=np.float32)
+    vg = _vert_grid_planar(z)
+    vn, vnor = _default_vectors(32, 32)
+    hori, azim = horizon.horizon_gridded(
+        vg, 64, 64, vn, vnor, 16, 16, dist_search=0.5, azim_num=16,
+        verbose=False)
+    assert hori.shape == (32, 32, 16)
+    assert np.abs(hori).max() < np.deg2rad(0.05)
+    assert np.allclose(azim, (2 * np.pi / 16) * np.arange(16))
+
+
+def test_single_wall_horizon_angle():
+    # Wall of height 100 m, 500 m north of the observer row
+    dx = 25.0
+    z = np.zeros((64, 64), dtype=np.float32)
+    z[10, :] = 100.0  # row 10; dy = -25 -> north of rows > 10
+    vg = _vert_grid_planar(z, dx=dx, dy=-dx)
+    vn, vnor = _default_vectors(1, 1)
+    # observer at row 30, col 32: distance to wall = (30-10)*25 = 500 m
+    hori, azim = horizon.horizon_gridded(
+        vg, 64, 64, vn, vnor, 30, 32, dist_search=1.5, azim_num=4,
+        verbose=False)
+    # azim[0] = 0 = north -> horizon = atan(100/500)
+    expect = np.arctan(100.0 / 500.0)
+    assert np.isclose(hori[0, 0, 0], expect, atol=np.deg2rad(0.6))
+    # south (azim index 2) -> flat
+    assert abs(hori[0, 0, 2]) < np.deg2rad(0.1)
+
+
+def test_horizon_vs_bruteforce_random_terrain():
+    dx = 25.0
+    z = gaussian_bumps_terrain(48, 48, seed=3, amp=300.0)
+    vg = _vert_grid_planar(z, dx=dx, dy=-dx)
+    in0 = in1 = 12
+    off = 18
+    vn, vnor = _default_vectors(in0, in1)
+    azim_num = 8
+    hori, azim = horizon.horizon_gridded(
+        vg, 48, 48, vn, vnor, off, off, dist_search=1.0,
+        azim_num=azim_num, hori_acc=0.25, verbose=False)
+    oracle = brute_horizon(z, dx, -dx, (off, off), (in0, in1), azim,
+                           1000.0, step_frac=0.25)
+    err = np.rad2deg(np.abs(hori - oracle))
+    assert err.max() < 0.5, f"max horizon error {err.max():.3f} deg"
+
+
+def test_horizon_mask_fill():
+    z = np.zeros((32, 32), dtype=np.float32)
+    vg = _vert_grid_planar(z)
+    vn, vnor = _default_vectors(8, 8)
+    mask = np.ones((8, 8), dtype=np.uint8)
+    mask[0, :] = 0
+    hori, _ = horizon.horizon_gridded(
+        vg, 32, 32, vn, vnor, 12, 12, dist_search=0.3, azim_num=4,
+        mask=mask, hori_fill=0.77, verbose=False)
+    assert np.allclose(hori[0, :, :], 0.77)
+    assert np.abs(hori[1:, :, :]).max() < np.deg2rad(0.05)
+
+
+def test_horizon_clamps_to_elev_limits():
+    z = np.zeros((32, 32), dtype=np.float32)
+    # Deep pit: observer far below surroundings is impossible on flat;
+    # instead check the lower clamp on flat terrain with high elev_low
+    vg = _vert_grid_planar(z)
+    vn, vnor = _default_vectors(4, 4)
+    hori, _ = horizon.horizon_gridded(
+        vg, 32, 32, vn, vnor, 14, 14, dist_search=0.3, azim_num=4,
+        elev_ang_low_lim=5.0, verbose=False)
+    assert np.allclose(hori, np.deg2rad(5.0), atol=1e-6)
+
+
+def test_invalid_args_raise():
+    z = np.zeros((16, 16), dtype=np.float32)
+    vg = _vert_grid_planar(z)
+    vn, vnor = _default_vectors(4, 4)
+    with pytest.raises(ValueError):
+        horizon.horizon_gridded(vg, 16, 16, vn, vnor, 14, 14,
+                                dist_search=0.2, verbose=False)  # offset
+    with pytest.raises(ValueError):
+        horizon.horizon_gridded(vg, 16, 16, vn, vnor, 6, 6,
+                                dist_search=0.2, ray_algorithm="bogus",
+                                verbose=False)
+    with pytest.raises(ValueError):
+        horizon.horizon_gridded(vg, 16, 16, vn, vnor, 6, 6,
+                                dist_search=0.2, hori_acc=30.0,
+                                verbose=False)
+    with pytest.raises(TypeError):
+        horizon.horizon_gridded(vg, 16, 16, vn, vnor, 6, 6,
+                                dist_search=0.2, ray_org_elev=0.0,
+                                verbose=False)
+
+
+def test_schedule_structure():
+    sched = sweep.build_schedule(25.0, 20000.0, rel_err=0.005)
+    assert sched.phases[0].level == 0
+    s_all = np.concatenate(sched.s_values)
+    assert (np.diff(s_all) > 0).all()
+    assert s_all[-1] <= 20000.0 + 1e-3
+    assert s_all[-1] > 0.95 * 20000.0
+    # number of samples stays manageable
+    assert sched.num_samples < 2000
+
+
+def test_schedule_short_distance():
+    sched = sweep.build_schedule(25.0, 100.0, rel_err=0.005)
+    assert len(sched.phases) == 1
+    # 4 segments, two heightfield reads each
+    assert sched.num_samples == 8
+
+
+def test_horizon_dtype_and_range():
+    z = gaussian_bumps_terrain(40, 40, seed=1)
+    vg = _vert_grid_planar(z)
+    vn, vnor = _default_vectors(10, 10)
+    hori, _ = horizon.horizon_gridded(vg, 40, 40, vn, vnor, 15, 15,
+                                      dist_search=0.5, azim_num=8,
+                                      verbose=False)
+    assert hori.dtype == np.float32
+    assert (hori >= np.deg2rad(-15.0) - 1e-6).all()
+    assert (hori <= np.deg2rad(89.98) + 1e-6).all()
