@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+# Copyright (c) 2026
+# MIT License
+"""Benchmark: gridded-DEM horizon sweep (32 azimuths) on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+
+Metric accounting
+-----------------
+The reference's own instrumentation counts *rays shot* and averages
+~2 rays/(cell, azimuth) with its guess_constant warm start
+(horizon_comp.cpp:807-810).  To compare end-to-end throughput on identical
+work, we report "reference-equivalent rays/s":
+
+    rays = num_cells * azim_num * 2.0 ;  rays/s = rays / wall_time
+
+i.e. the rate at which the chip produces the same horizon output that Embree
+produces with ~2 rays per (cell, azimuth).  ``samples_per_s`` (heightfield
+reads/s of the sweep itself) is also reported for kernel-level analysis.
+
+``vs_baseline``: the repo publishes no numbers (BASELINE.md), so the baseline
+is an assumed multi-core Embree+TBB CPU at 20 M rays/s (O(1-5) M
+rays/s/core x ~8-16 cores).  The BASELINE.json target of ">= 10x Embree-CPU"
+corresponds to vs_baseline >= 10.
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+ASSUMED_EMBREE_CPU_RAYS_PER_S = 20.0e6
+REF_RAYS_PER_CELL_AZIM = 2.0
+
+
+def make_terrain(h, w, seed=0, dx=25.0):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    z = np.zeros((h, w), dtype=np.float64)
+    for _ in range(24):
+        cy, cx = rng.uniform(0, h), rng.uniform(0, w)
+        sig = rng.uniform(6.0, h / 6.0)
+        z += rng.uniform(100, 800) * np.exp(
+            -(((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * sig ** 2)))
+    return z.astype(np.float32)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--inner", type=int, default=1024,
+                    help="inner domain size (cells per side)")
+    ap.add_argument("--halo", type=int, default=512,
+                    help="outer halo cells per side")
+    ap.add_argument("--azim", type=int, default=32)
+    ap.add_argument("--dist", type=float, default=20.0,
+                    help="search distance [km]")
+    ap.add_argument("--dx", type=float, default=25.0)
+    ap.add_argument("--acc", type=float, default=0.25)
+    ap.add_argument("--iters", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+    from horayzon_tpu.ops import sweep
+
+    in0 = in1 = args.inner
+    h = w = args.inner + 2 * args.halo
+    z = make_terrain(h, w, dx=args.dx)
+    azim = (2 * np.pi / args.azim) * np.arange(args.azim)
+
+    def run():
+        hori, _ = sweep.horizon_sweep(
+            z, dx=args.dx, dy=-args.dx, offset=(args.halo, args.halo),
+            inner_shape=(in0, in1), azim=azim,
+            dist_search=args.dist * 1000.0, hori_acc=args.acc)
+        return hori
+
+    # Warm-up / compile
+    hori = run()
+    hori.block_until_ready()
+
+    times = []
+    for _ in range(args.iters):
+        t0 = time.perf_counter()
+        hori = run()
+        hori.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+
+    schedule = sweep.build_schedule(args.dx, args.dist * 1000.0,
+                                    sweep.default_rel_err(args.acc))
+    cells = in0 * in1
+    rays = cells * args.azim * REF_RAYS_PER_CELL_AZIM
+    rays_per_s = rays / dt
+    samples_per_s = cells * args.azim * schedule.num_samples / dt
+
+    result = {
+        "metric": "rays_per_s_per_chip",
+        "value": rays_per_s,
+        "unit": "reference-equivalent rays/s",
+        "vs_baseline": rays_per_s / ASSUMED_EMBREE_CPU_RAYS_PER_S,
+        "wall_time_s": dt,
+        "cells": cells,
+        "azim_num": args.azim,
+        "dist_search_km": args.dist,
+        "samples_per_cell_azim": schedule.num_samples,
+        "samples_per_s": samples_per_s,
+        "device": str(jax.devices()[0]),
+        "hori_mean_deg": float(np.rad2deg(np.asarray(hori).mean())),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -241,9 +241,12 @@ def _segment_interior_t(a, b, h0, z0, s_start, length):
     """
     rad = s_start * s_start - (b * s_start - h0 + z0) / jnp.where(
         jnp.abs(a) > 1e-12, a, jnp.float32(1e-12))
-    safe_rad = jnp.maximum(rad, 0.0)
+    # Double-where: sanitise before sqrt so the untaken branch cannot inject
+    # inf/NaN into gradients (d sqrt(0) = inf).
+    pos = rad > 0.0
+    safe_rad = jnp.where(pos, rad, 1.0)
     t = -s_start + jnp.sqrt(safe_rad)
-    valid = (jnp.abs(a) > 1e-12) & (rad > 0.0) & (t > 1e-3) \
+    valid = (jnp.abs(a) > 1e-12) & pos & (t > 1e-3) \
         & (t < length - 1e-3)
     return jnp.clip(t, 0.0, length), valid
 
@@ -387,9 +390,11 @@ def _horizon_core(z_outer, z_org, z_inner, geom, tables, trig, *, sched_meta,
                              num / jnp.maximum(den, _DEN_EPS),
                              jnp.where(num > 0.0, -_NEG_INIT, _NEG_INIT))
 
-        ratio0 = jnp.full(inner_shape, _NEG_INIT, dtype=jnp.float32)
-        dist0 = jnp.zeros(inner_shape, dtype=jnp.float32)
-        valid0 = jnp.ones(inner_shape, dtype=bool)
+        # Derive carry initialisers from z_inner (not fresh constants) so
+        # their device-varying type matches the loop outputs under shard_map.
+        ratio0 = z_inner * 0.0 + _NEG_INIT
+        dist0 = z_inner * 0.0
+        valid0 = z_inner == z_inner
 
         carry = (ratio0, dist0, z_inner, valid0)
 
@@ -561,7 +566,7 @@ def _shadow_metric_core(z_outer, z_org, z_inner, m_slope, u_cells, s_phases,
     """
     num_levels = len(pads)
     pyramid = mip.padded_pyramid(z_outer, num_levels, pads)
-    metric = jnp.full(inner_shape, _NEG_INIT, dtype=jnp.float32)
+    metric = z_inner * 0.0 + _NEG_INIT
     off0, off1 = offset
     ui = u_cells[0]   # row cells per metre
     uj = u_cells[1]   # column cells per metre

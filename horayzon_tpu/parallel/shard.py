@@ -88,11 +88,21 @@ def horizon_sweep_sharded(mesh, z_outer, *, dx, dy, offset, inner_shape,
     def shard_fn(z_outer_rep, z_org_sh, geom_sh, tables_sh, trig_sh):
         tile_idx = jax.lax.axis_index(_mesh.AXIS_TILE)
         row0 = tile_idx * rows
+        # Tile-sharded fields combine with azim-sharded tables inside the
+        # sweep's scans; mark them varying over the azim axis too so the
+        # scan carry types line up.
+        z_outer_rep = jax.lax.pcast(
+            z_outer_rep, (_mesh.AXIS_TILE, _mesh.AXIS_AZIM), to="varying")
+        z_org_sh = jax.lax.pcast(z_org_sh, (_mesh.AXIS_AZIM,), to="varying")
+        geom_sh = jax.tree_util.tree_map(
+            lambda a: jax.lax.pcast(a, (_mesh.AXIS_AZIM,), to="varying"),
+            geom_sh)
         adj = []
         for p, (level, pad, _) in enumerate(sched_meta):
             t = dict(tables_sh[f"p{p}"])
             if level == 0:
-                t["i0"] = t["i0"] + row0
+                t["m_i0"] = t["m_i0"] + row0
+                t["e_i0"] = t["e_i0"] + row0
             else:
                 k = 2 ** level
                 ci = (t["base_i"] - pad) * k + t["r_i"] + row0

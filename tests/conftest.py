@@ -1,12 +1,21 @@
 # Tests run on a virtual 8-device CPU mesh so sharded paths are exercised
 # without TPU hardware (SURVEY.md section 4: multi-host without a cluster).
+#
+# Note: the session's sitecustomize may import jax at interpreter startup
+# (TPU plugin registration), so plain env vars are too late — use
+# jax.config.update after import.  XLA_FLAGS is still read lazily at first
+# backend initialisation, so setting it here works.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
