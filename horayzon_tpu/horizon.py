@@ -97,30 +97,34 @@ def horizon_gridded(
 
     x, y, z = _terrain.decompose_vert_grid(vert_grid, dem_dim_0, dem_dim_1)
     grid = _terrain.detect_regular_grid(x, y)
-    if grid is None:
-        raise ValueError(
-            "vert_grid is not a regular axis-aligned (x, y) grid. For curved "
-            "ENU meshes, planarise first with horayzon_tpu.regrid "
-            "(resampling to a regular ENU grid) and pass the resampled "
-            "buffer, or use horayzon_tpu.models.CurvedPipeline.")
-
     inner_shape = (vec_norm.shape[0], vec_norm.shape[1])
     azim = azimuth_angles(azim_num)
-    planar = _terrain.is_default_planar_vectors(vec_norm, vec_north)
-    if planar:
-        geom = None
-        u_xy = None
-    else:
-        geom = _terrain.basis_fields(vec_norm, vec_north)
-        u_xy = _terrain.mean_marching_directions(azim, vec_norm, vec_north)
 
-    t0 = time.perf_counter()
-    hori, _ = _sweep.horizon_sweep(
-        z, dx=grid.dx, dy=grid.dy, offset=(offset_0, offset_1),
-        inner_shape=inner_shape, azim=azim,
-        dist_search=dist_search * 1000.0,
-        hori_acc=hori_acc, elev_ang_low_lim=elev_ang_low_lim,
-        ray_org_elev=ray_org_elev, geom=geom, u_xy=u_xy)
+    if grid is None:
+        # Curved ENU mesh: planarise onto a regular lattice, sweep there,
+        # then sample the horizon back at the original cell positions.
+        t0 = time.perf_counter()
+        hori = _curved_gridded(x, y, z, vec_norm, vec_north,
+                               offset_0, offset_1, azim,
+                               dist_search * 1000.0, hori_acc,
+                               elev_ang_low_lim, ray_org_elev)
+    else:
+        planar = _terrain.is_default_planar_vectors(vec_norm, vec_north)
+        if planar:
+            geom = None
+            u_xy = None
+        else:
+            geom = _terrain.basis_fields(vec_norm, vec_north)
+            u_xy = _terrain.mean_marching_directions(azim, vec_norm,
+                                                     vec_north)
+
+        t0 = time.perf_counter()
+        hori, _ = _sweep.horizon_sweep(
+            z, dx=grid.dx, dy=grid.dy, offset=(offset_0, offset_1),
+            inner_shape=inner_shape, azim=azim,
+            dist_search=dist_search * 1000.0,
+            hori_acc=hori_acc, elev_ang_low_lim=elev_ang_low_lim,
+            ray_org_elev=ray_org_elev, geom=geom, u_xy=u_xy)
     if mask.min() == 0:
         m = jnp.asarray(mask[..., None] == 1)
         hori = jnp.where(m, hori, jnp.float32(hori_fill))
@@ -134,6 +138,67 @@ def horizon_gridded(
         print(f"Number of grid cells for which horizon is computed: "
               f"{n_cells}")
     return hori, azim
+
+
+def _curved_gridded(x, y, z, vec_norm, vec_north, offset_0, offset_1, azim,
+                    dist_search_m, hori_acc, elev_ang_low_lim, ray_org_elev):
+    """Curved-mesh gridded horizon: planarise -> general sweep -> sample back.
+
+    The reference builds an Embree BVH directly over the irregular ENU
+    vertex cloud (horizon_comp.cpp:101-231); here the mesh is resampled to a
+    regular lattice at native resolution (:mod:`horayzon_tpu.regrid`), the
+    sweep runs in general (per-cell tangent frame) mode, and the horizon is
+    bilinearly read back at the original inner-cell positions.
+    """
+    from horayzon_tpu import regrid as _regrid
+
+    in0, in1 = vec_norm.shape[:2]
+    pg = _regrid.planarize(x, y, z)
+    hr, wr = pg.grid.shape
+
+    # Positions of the original inner cells on the regular lattice
+    x_in = x[offset_0:offset_0 + in0, offset_1:offset_1 + in1]
+    y_in = y[offset_0:offset_0 + in0, offset_1:offset_1 + in1]
+    fi_in, fj_in = pg.to_regular_indices(x_in, y_in)
+
+    # Regular-lattice inner superset (bounding box + 1-cell margin)
+    i_lo = max(int(np.floor(fi_in.min())) - 1, 0)
+    i_hi = min(int(np.ceil(fi_in.max())) + 2, hr)
+    j_lo = max(int(np.floor(fj_in.min())) - 1, 0)
+    j_hi = min(int(np.ceil(fj_in.max())) + 2, wr)
+    rin0 = i_hi - i_lo
+    rin1 = j_hi - j_lo
+
+    # Basis vectors at the regular inner cells: interpolate the caller's
+    # per-inner-cell fields through original index space.  (fi_src, fj_src)
+    # of regular cells come from the planarisation's inverse mapping.
+    fi_src = pg.fi[i_lo:i_hi, j_lo:j_hi] - offset_0
+    fj_src = pg.fj[i_lo:i_hi, j_lo:j_hi] - offset_1
+    fi_src = np.clip(fi_src, 0.0, in0 - 1.0)
+    fj_src = np.clip(fj_src, 0.0, in1 - 1.0)
+    norm_r = _regrid._bilinear(vec_norm.astype(np.float64), fi_src, fj_src)
+    north_r = _regrid._bilinear(vec_north.astype(np.float64), fi_src,
+                                fj_src)
+    norm_r /= np.linalg.norm(norm_r, axis=-1, keepdims=True)
+    north_r -= np.sum(north_r * norm_r, axis=-1, keepdims=True) * norm_r
+    north_r /= np.linalg.norm(north_r, axis=-1, keepdims=True)
+    norm_r = norm_r.astype(np.float32)
+    north_r = north_r.astype(np.float32)
+
+    geom = _terrain.basis_fields(norm_r, north_r)
+    u_xy = _terrain.mean_marching_directions(azim, norm_r, north_r)
+
+    hori_r, _ = _sweep.horizon_sweep(
+        pg.z, dx=pg.grid.dx, dy=pg.grid.dy, offset=(i_lo, j_lo),
+        inner_shape=(rin0, rin1), azim=azim, dist_search=dist_search_m,
+        hori_acc=hori_acc, elev_ang_low_lim=elev_ang_low_lim,
+        ray_org_elev=ray_org_elev, geom=geom, u_xy=u_xy)
+    hori_r = np.asarray(hori_r)
+
+    # Sample back at the original cell positions
+    out = _regrid._bilinear(hori_r.astype(np.float64),
+                            fi_in - i_lo, fj_in - j_lo)
+    return jnp.asarray(out.astype(np.float32))
 
 
 def horizon_locations(

@@ -12,6 +12,11 @@ TPU-first differences:
 * The per-cell occlusion ray toward the sun (shadow_comp.cpp:454-467) becomes
   one shifted-slice sweep along the sun's horizontal direction
   (:func:`horayzon_tpu.ops.sweep.shadow_metric`).
+* Curved-Earth (irregular ENU) meshes are planarised onto a regular lattice
+  (:mod:`horayzon_tpu.regrid`); the occlusion test runs on the lattice and is
+  sampled back (nearest) to the original cells, while the per-cell
+  illumination formulas (self-shadowing, refraction, Mueller-Scherer factor)
+  are evaluated *exactly* at the original cell positions.
 * Sun positions batch along a leading time axis (``shadow_batch`` /
   ``sw_dir_cor_batch``) — the reference iterates time steps in Python
   (e.g. examples/shadow/gridded_curved_DEM_SRTM.py:190-266).
@@ -28,7 +33,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from horayzon_tpu import terrain as _terrain
-from horayzon_tpu.ops import mip as _mip
 from horayzon_tpu.ops import refraction as _refraction
 from horayzon_tpu.ops import sweep as _sweep
 
@@ -38,34 +42,29 @@ _RAY_ORG_ELEV = 0.05  # hard-coded lift of the ray origin [m]
 
 @functools.partial(
     jax.jit,
-    static_argnames=("sched_meta", "pads", "offset", "inner_shape",
-                     "refrac_cor", "mode", "ang_max"))
+    static_argnames=("sched_meta", "pads", "offset", "comp_shape",
+                     "refrac_cor", "mode", "ang_max", "curved"))
 def _sun_step(z_outer, fields, sun_position, *, sched_meta, pads, offset,
-              inner_shape, refrac_cor, mode, ang_max):
+              comp_shape, refrac_cor, mode, ang_max, curved):
     """One sun position -> shadow mask (mode='shadow') or correction factor
     (mode='sw_dir_cor').  Mirrors CppTerrain::shadow / ::sw_dir_cor
-    (shadow_comp.cpp:386-605)."""
-    x_in = fields["x_in"]          # (in0, in1) planar x of inner cells
-    y_in = fields["y_in"]
-    z_org = fields["z_org"]        # terrain + norm_z * 0.05
-    norm = fields["norm"]          # (in0, in1, 3)
-    tilt = fields["tilt"]
-    mask = fields["mask"]          # bool
-    dxdy = fields["dxdy"]          # (2,) = (dx, dy)
+    (shadow_comp.cpp:386-605).
 
-    # Per-cell sun unit vector (shadow_comp.cpp:421-425)
-    sx = sun_position[0] - x_in
-    sy = sun_position[1] - y_in
-    sz = sun_position[2] - z_org
-    mag = jnp.sqrt(sx * sx + sy * sy + sz * sz)
-    sun = jnp.stack([sx / mag, sy / mag, sz / mag], axis=-1)
+    ``comp_shape`` is the occlusion-lattice inner shape; for curved meshes
+    the classification runs on the original cells via the nearest-neighbour
+    back-map ``fields["bi"], fields["bj"]``.
+    """
+    # ---- Occlusion sweep on the (regular) compute lattice ----------------
+    xr = fields["xr"]              # (c0, c1) lattice x of compute cells
+    yr = fields["yr"]
+    z_org_r = fields["z_org_r"]    # lattice terrain + lift
+    dxdy = fields["dxdy"]          # (2,) = (dx, dy) of the lattice
 
-    if refrac_cor:
-        sun = _refraction.refract_sun_vector(sun, norm, fields["elevation"])
-    dot_ns = jnp.sum(norm * sun, axis=-1)
-    dot_ts = jnp.sum(tilt * sun, axis=-1)
+    sxr = sun_position[0] - xr
+    syr = sun_position[1] - yr
+    szr = sun_position[2] - z_org_r
+    mag_r = jnp.sqrt(sxr * sxr + syr * syr + szr * szr)
 
-    # Global horizontal marching direction from the domain centre
     cx = fields["center"][0]
     cy = fields["center"][1]
     kx = sun_position[0] - cx
@@ -76,16 +75,35 @@ def _sun_step(z_outer, fields, sun_position, *, sched_meta, pads, offset,
     ky_u = jnp.where(near_vertical, 0.0, ky / jnp.maximum(k_norm, 1e-6))
     u_cells = jnp.stack([ky_u / dxdy[1], kx_u / dxdy[0]])  # (ui, uj)
 
-    # Per-cell ray slope dz per metre of horizontal arc
-    adv = sun[..., 0] * kx_u + sun[..., 1] * ky_u
-    m_slope = sun[..., 2] / jnp.maximum(adv, 1.0e-4)
+    adv = (sxr * kx_u + syr * ky_u) / mag_r
+    m_slope = (szr / mag_r) / jnp.maximum(adv, 1.0e-4)
 
     metric = _sweep._shadow_metric_core(
-        z_outer, z_org, fields["z_inner"], m_slope, u_cells,
+        z_outer, z_org_r, fields["z_inner_r"], m_slope, u_cells,
         fields["s_phases"],
         sched_meta=sched_meta, pads=pads, offset=offset,
-        inner_shape=inner_shape)
+        inner_shape=comp_shape)
     occluded = jnp.logical_and(metric > 0.0, jnp.logical_not(near_vertical))
+    if curved:
+        occluded = occluded[fields["bi"], fields["bj"]]
+
+    # ---- Per-cell classification at the original cells -------------------
+    x_in = fields["x_in"]
+    y_in = fields["y_in"]
+    z_org = fields["z_org"]
+    norm = fields["norm"]          # (in0, in1, 3)
+    tilt = fields["tilt"]
+    mask = fields["mask"]          # bool
+
+    sx = sun_position[0] - x_in
+    sy = sun_position[1] - y_in
+    sz = sun_position[2] - z_org
+    mag = jnp.sqrt(sx * sx + sy * sy + sz * sz)
+    sun = jnp.stack([sx / mag, sy / mag, sz / mag], axis=-1)
+    if refrac_cor:
+        sun = _refraction.refract_sun_vector(sun, norm, fields["elevation"])
+    dot_ns = jnp.sum(norm * sun, axis=-1)
+    dot_ts = jnp.sum(tilt * sun, axis=-1)
 
     if mode == "shadow":
         # Encoding 0 illuminated / 1 self-shaded / 2 terrain-shaded /
@@ -159,42 +177,93 @@ class Terrain:
 
         x, y, z = _terrain.decompose_vert_grid(vert_grid, dem_dim_0,
                                                dem_dim_1)
-        grid = _terrain.detect_regular_grid(x, y)
-        if grid is None:
-            raise ValueError("vert_grid is not a regular axis-aligned grid; "
-                             "planarise with horayzon_tpu.regrid first")
         in0, in1 = shp
         self.inner_shape = (in0, in1)
-        self.offset = (int(offset_0), int(offset_1))
-        self.grid = grid
         self.ang_max = float(ang_max)
         self.refrac_cor = bool(refrac_cor)
 
+        sl_in = (slice(offset_0, offset_0 + in0),
+                 slice(offset_1, offset_1 + in1))
+        x_in = x[sl_in].astype(np.float32)
+        y_in = y[sl_in].astype(np.float32)
+        z_in = z[sl_in].astype(np.float32)
+        z_org = z_in + _RAY_ORG_ELEV * vec_norm[..., 2]
+
+        grid = _terrain.detect_regular_grid(x, y)
+        self._curved = grid is None
+        if not self._curved:
+            z_comp = z.astype(np.float32)
+            comp_grid = grid
+            comp_offset = (int(offset_0), int(offset_1))
+            comp_shape = (in0, in1)
+            z_org_r = z_org
+            xr, yr = x_in, y_in
+            back = None
+            dem_h, dem_w = dem_dim_0, dem_dim_1
+        else:
+            from horayzon_tpu import regrid as _regrid
+            pg = _regrid.planarize(x, y, z)
+            comp_grid = pg.grid
+            z_comp = pg.z
+            dem_h, dem_w = pg.grid.shape
+            fi_in, fj_in = pg.to_regular_indices(x_in, y_in)
+            i_lo = max(int(np.floor(fi_in.min())) - 1, 0)
+            i_hi = min(int(np.ceil(fi_in.max())) + 2, dem_h)
+            j_lo = max(int(np.floor(fj_in.min())) - 1, 0)
+            j_hi = min(int(np.ceil(fj_in.max())) + 2, dem_w)
+            comp_offset = (i_lo, j_lo)
+            comp_shape = (i_hi - i_lo, j_hi - j_lo)
+            # Lattice-cell quantities for the occlusion test
+            fi_src = np.clip(pg.fi[i_lo:i_hi, j_lo:j_hi] - offset_0,
+                             0.0, in0 - 1.0)
+            fj_src = np.clip(pg.fj[i_lo:i_hi, j_lo:j_hi] - offset_1,
+                             0.0, in1 - 1.0)
+            norm_r = _regrid._bilinear(vec_norm.astype(np.float64),
+                                       fi_src, fj_src)
+            norm_r /= np.linalg.norm(norm_r, axis=-1, keepdims=True)
+            xr1 = comp_grid.x0 + np.arange(j_lo, j_hi) * comp_grid.dx
+            yr1 = comp_grid.y0 + np.arange(i_lo, i_hi) * comp_grid.dy
+            xr = np.broadcast_to(xr1[None, :], comp_shape) \
+                .astype(np.float32)
+            yr = np.broadcast_to(yr1[:, None], comp_shape) \
+                .astype(np.float32)
+            z_inner_r = z_comp[i_lo:i_hi, j_lo:j_hi]
+            z_org_r = (z_inner_r
+                       + _RAY_ORG_ELEV * norm_r[..., 2]).astype(np.float32)
+            bi = np.clip(np.rint(fi_in - i_lo).astype(np.int32), 0,
+                         comp_shape[0] - 1)
+            bj = np.clip(np.rint(fj_in - j_lo).astype(np.int32), 0,
+                         comp_shape[1] - 1)
+            back = (bi, bj)
+
+        self.grid = comp_grid
+        self.offset = comp_offset
+        self.comp_shape = comp_shape
+
         # Shadow rays run to the domain edge (tfar = inf in the reference,
-        # shadow_comp.cpp:462) -> schedule over the outer-domain diagonal.
-        diag = math.hypot(dem_dim_1 * abs(grid.dx),
-                          dem_dim_0 * abs(grid.dy))
-        step = min(abs(grid.dx), abs(grid.dy))
+        # shadow_comp.cpp:462) -> schedule over the lattice diagonal.
+        diag = math.hypot(dem_w * abs(comp_grid.dx),
+                          dem_h * abs(comp_grid.dy))
+        step = min(abs(comp_grid.dx), abs(comp_grid.dy))
         rel_err = _sweep.default_rel_err(acc)
         self.schedule = _sweep.build_schedule(step, diag, rel_err)
 
-        x_axis = grid.x_axis()
-        y_axis = grid.y_axis()
-        x_in = np.broadcast_to(
-            x_axis[offset_1:offset_1 + in1][None, :], shp)
-        y_in = np.broadcast_to(
-            y_axis[offset_0:offset_0 + in0][:, None], shp)
-        z_in = z[offset_0:offset_0 + in0, offset_1:offset_1 + in1]
-        z_org = z_in + _RAY_ORG_ELEV * vec_norm[..., 2]
+        x_axis = comp_grid.x_axis()
+        y_axis = comp_grid.y_axis()
         cx = 0.5 * (x_axis[0] + x_axis[-1])
         cy = 0.5 * (y_axis[0] + y_axis[-1])
 
-        self._z_outer = jnp.asarray(z, dtype=jnp.float32)
-        self._fields = {
-            "x_in": jnp.asarray(x_in, dtype=jnp.float32),
-            "y_in": jnp.asarray(y_in, dtype=jnp.float32),
+        self._z_outer = jnp.asarray(z_comp, dtype=jnp.float32)
+        fields = {
+            "x_in": jnp.asarray(x_in),
+            "y_in": jnp.asarray(y_in),
             "z_org": jnp.asarray(z_org, dtype=jnp.float32),
-            "z_inner": jnp.asarray(z_in, dtype=jnp.float32),
+            "xr": jnp.asarray(xr, dtype=jnp.float32),
+            "yr": jnp.asarray(yr, dtype=jnp.float32),
+            "z_org_r": jnp.asarray(z_org_r, dtype=jnp.float32),
+            "z_inner_r": jnp.asarray(
+                z_in if not self._curved else z_inner_r,
+                dtype=jnp.float32),
             "norm": jnp.asarray(vec_norm),
             "tilt": jnp.asarray(vec_tilt),
             "surf_enl_fac": jnp.asarray(surf_enl_fac),
@@ -202,10 +271,15 @@ class Terrain:
             "mask": jnp.asarray(mask == 1),
             "sw_dir_cor_fill": jnp.float32(sw_dir_cor_fill),
             "center": jnp.asarray([cx, cy], dtype=jnp.float32),
-            "dxdy": jnp.asarray([grid.dx, grid.dy], dtype=jnp.float32),
+            "dxdy": jnp.asarray([comp_grid.dx, comp_grid.dy],
+                                dtype=jnp.float32),
             "s_phases": tuple(jnp.asarray(s)
                               for s in self.schedule.s_values),
         }
+        if back is not None:
+            fields["bi"] = jnp.asarray(back[0])
+            fields["bj"] = jnp.asarray(back[1])
+        self._fields = fields
         self._initialised = True
         num_gc = int((mask == 1).sum())
         print(f"Considered grid cells (number): {num_gc}")
@@ -229,9 +303,10 @@ class Terrain:
         kwargs = dict(sched_meta=self.schedule.meta(),
                       pads=self.schedule.pads,
                       offset=self.offset,
-                      inner_shape=self.inner_shape,
+                      comp_shape=self.comp_shape,
                       refrac_cor=self.refrac_cor,
-                      mode=mode, ang_max=self.ang_max)
+                      mode=mode, ang_max=self.ang_max,
+                      curved=self._curved)
         if sun_position.ndim == 1:
             return _sun_step(self._z_outer, self._fields,
                              jnp.asarray(sun_position), **kwargs)
