@@ -59,9 +59,13 @@ def main():
     ap.add_argument("--dx", type=float, default=25.0)
     ap.add_argument("--acc", type=float, default=0.25)
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--cpu-baseline", action="store_true", default=True)
+    ap.add_argument("--no-cpu-baseline", dest="cpu_baseline",
+                    action="store_false")
     args = ap.parse_args()
 
     import jax
+    import jax.numpy as jnp
     from horayzon_tpu.ops import sweep
 
     in0 = in1 = args.inner
@@ -107,8 +111,32 @@ def main():
         "samples_per_cell_azim": schedule.num_samples,
         "samples_per_s": samples_per_s,
         "device": str(jax.devices()[0]),
-        "hori_mean_deg": float(np.rad2deg(np.asarray(hori).mean())),
+        # Keep the reduction on-device: device->host transfers may run
+        # through a slow tunnel (O(MB/s)); only the scalar crosses.
+        "hori_mean_deg": float(np.rad2deg(jnp.mean(hori))),
     }
+
+    if args.cpu_baseline:
+        # Measured CPU baseline: the native multithreaded ray-marcher
+        # (horayzon_tpu/native/fastdem.cpp) running the *same algorithm*
+        # (dense bilinear march) on a subgrid; the samples/s ratio is the
+        # honest identical-work hardware speedup.
+        try:
+            from horayzon_tpu.native import fastdem
+            sub = min(64, in0)
+            t0 = time.perf_counter()
+            _, cpu_samples = fastdem.horizon_march(
+                z, args.dx, -args.dx, (args.halo, args.halo), (sub, sub),
+                (2 * np.pi / args.azim) * np.arange(args.azim),
+                args.dist * 1000.0)
+            cpu_dt = time.perf_counter() - t0
+            cpu_samples_per_s = cpu_samples / cpu_dt
+            result["cpu_samples_per_s"] = cpu_samples_per_s
+            result["speedup_vs_cpu_same_algorithm"] = (
+                samples_per_s / cpu_samples_per_s)
+        except Exception:
+            pass
+
     print(json.dumps(result))
 
 

@@ -250,8 +250,13 @@ def horizon_locations(
     x, y, z = _terrain.decompose_vert_grid(vert_grid, dem_dim_0, dem_dim_1)
     grid = _terrain.detect_regular_grid(x, y)
     if grid is None:
-        raise ValueError("vert_grid is not a regular axis-aligned grid; "
-                         "planarise with horayzon_tpu.regrid first")
+        # Curved ENU mesh: planarise; the per-location sweep measures angles
+        # in each location's own tangent frame, so it runs unchanged on the
+        # resampled lattice (locations keep their exact ENU coordinates).
+        from horayzon_tpu import regrid as _regrid
+        pg = _regrid.planarize(x, y, z)
+        grid = pg.grid
+        z = pg.z
 
     from horayzon_tpu.ops import locations as _locations
     azim = azimuth_angles(azim_num)
