@@ -73,22 +73,25 @@ def main():
     z = make_terrain(h, w, dx=args.dx)
     azim = (2 * np.pi / args.azim) * np.arange(args.azim)
 
+    z_dev = jnp.asarray(z)  # upload once
+
     def run():
         hori, _ = sweep.horizon_sweep(
-            z, dx=args.dx, dy=-args.dx, offset=(args.halo, args.halo),
+            z_dev, dx=args.dx, dy=-args.dx, offset=(args.halo, args.halo),
             inner_shape=(in0, in1), azim=azim,
             dist_search=args.dist * 1000.0, hori_acc=args.acc)
         return hori
 
-    # Warm-up / compile
-    hori = run()
-    hori.block_until_ready()
+    # Warm-up / compile.  NOTE: timing forces a device->host scalar readback
+    # per iteration — on remote-tunnel backends block_until_ready alone can
+    # return before execution completes, yielding bogus (too fast) numbers.
+    hori_mean = float(jnp.mean(run()))
 
     times = []
     for _ in range(args.iters):
         t0 = time.perf_counter()
         hori = run()
-        hori.block_until_ready()
+        hori_mean = float(jnp.mean(hori))
         times.append(time.perf_counter() - t0)
     dt = min(times)
 
@@ -111,9 +114,7 @@ def main():
         "samples_per_cell_azim": schedule.num_samples,
         "samples_per_s": samples_per_s,
         "device": str(jax.devices()[0]),
-        # Keep the reduction on-device: device->host transfers may run
-        # through a slow tunnel (O(MB/s)); only the scalar crosses.
-        "hori_mean_deg": float(np.rad2deg(jnp.mean(hori))),
+        "hori_mean_deg": float(np.rad2deg(hori_mean)),
     }
 
     if args.cpu_baseline:

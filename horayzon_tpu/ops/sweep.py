@@ -345,12 +345,14 @@ def horizon_shift_tables(schedule, azim, dx, dy, offset, u_xy=None):
 @functools.partial(
     jax.jit,
     static_argnames=("sched_meta", "pads", "inner_shape", "planar",
-                     "track_dist"))
+                     "track_dist", "outer_shape"))
 def _horizon_core(z_outer, z_org, z_inner, geom, tables, trig, *, sched_meta,
-                  pads, inner_shape, planar, track_dist):
+                  pads, inner_shape, planar, track_dist, outer_shape=None):
     """Jitted horizon sweep.
 
-    z_outer : (H, W) outer heightfield
+    z_outer : (H, W) outer heightfield, or a tuple of *pre-built padded
+              pyramid levels* (multi-resolution terrain; see ops.multires) —
+              then ``outer_shape`` gives the valid fine-grid extent
     z_org   : (in0, in1) ray-origin elevation (terrain + lift)
     z_inner : (in0, in1) terrain elevation at the inner cells
     geom    : None (planar) or dict with per-cell float32 (in0, in1) fields
@@ -360,8 +362,12 @@ def _horizon_core(z_outer, z_org, z_inner, geom, tables, trig, *, sched_meta,
     trig    : dict with ``sin``, ``cos``, ``ux``, ``uy`` (A,) arrays
     """
     num_levels = len(pads)
-    pyramid = mip.padded_pyramid(z_outer, num_levels, pads)
-    step = None  # derived per phase from s / s_start
+    if isinstance(z_outer, (tuple, list)):
+        pyramid = list(z_outer)
+        assert outer_shape is not None
+    else:
+        pyramid = mip.padded_pyramid(z_outer, num_levels, pads)
+        outer_shape = z_outer.shape
 
     def azim_body(_, xs):
         if not planar:
@@ -403,7 +409,6 @@ def _horizon_core(z_outer, z_org, z_inner, geom, tables, trig, *, sched_meta,
                 dist = jnp.where(r_new > ratio, s_new, dist)
             return jnp.maximum(ratio, r_new), dist
 
-        outer_shape = z_outer.shape
         for p, (level, pad, _) in enumerate(sched_meta):
             ph = xs[f"p{p}"]
             zp = pyramid[level]
