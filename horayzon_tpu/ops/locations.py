@@ -70,7 +70,7 @@ def _locations_core(levels, s_phases, coords, basis, ray_org_elev, trig, *,
     best_ratio = jnp.full(u_xy.shape[:2], _NEG, dtype=jnp.float32)
     best_s = jnp.zeros(u_xy.shape[:2], dtype=jnp.float32)
 
-    for p, (level, _, _) in enumerate(sched_meta):
+    for p, (kind, level, *_rest) in enumerate(sched_meta):
         s = s_phases[p]                                     # (M,)
         zl = levels[level]
         k = 2 ** level

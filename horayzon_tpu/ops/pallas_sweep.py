@@ -291,9 +291,19 @@ def horizon_sweep_pallas(z_outer, *, dx, dy, offset, inner_shape, azim_num,
             z_l, ((lo, pads[lvl] + 48), (lo, pads[lvl] + 648)),
             constant_values=_mip.PAD_VALUE))
 
+    # Merge the level-0 phases (d2 + d1 in the XLA path) into one dense
+    # phase: this kernel uses midpoint+endpoint reads for every dense step.
     levels_meta = []
     phases_meta = []
+    n_dense_steps = sum(ph.num for ph in schedule.phases if ph.level == 0)
+    wpad0 = schedule.pads[0] + 2
+    levels_meta.append((0, wpad0,
+                        _round_up(t0 + 2 * wpad0 + 2 + 16 + 8, 8),
+                        _round_up(t1 + 2 * wpad0 + 2 + 256 + 128, 128)))
+    phases_meta.append((0, n_dense_steps, step, step))
     for p, ph in enumerate(schedule.phases):
+        if ph.level == 0:
+            continue
         lvl = ph.level
         wpad = schedule.pads[lvl] + 2
         k = 2 ** lvl
@@ -302,12 +312,8 @@ def horizon_sweep_pallas(z_outer, *, dx, dy, offset, inner_shape, azim_num,
         wsz1 = _round_up(t1 // k + 2 * wpad + 2 + 256 + 128, 128)
         levels_meta.append((lvl, wpad, wsz0, wsz1))
         s_vals = schedule.s_values[p]
-        if p == 0:
-            phases_meta.append((0, ph.num, float(s_vals[0]), step))
-        else:
-            step_l = float(s_vals[1] - s_vals[0]) if ph.num > 1 \
-                else step * k
-            phases_meta.append((lvl, ph.num, float(s_vals[0]), step_l))
+        step_l = float(s_vals[1] - s_vals[0]) if ph.num > 1 else step * k
+        phases_meta.append((lvl, ph.num, float(s_vals[0]), step_l))
 
     off0, off1 = offset
     z_inner = lax.dynamic_slice(z_outer, (off0, off1), (in0, in1))

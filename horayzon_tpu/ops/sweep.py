@@ -19,16 +19,23 @@ Accuracy model
 --------------
 * Near/mid field (mip level 0): along a straight ground track the bilinear
   surface is piecewise *quadratic* in the arc length.  Each marching step
-  reads the segment midpoint and endpoint, fits the quadratic through
-  (previous endpoint, midpoint, endpoint), and maximises the elevation-angle
-  ratio ``(h(t) - z0) / (s + t)`` over the segment *analytically* (the
-  stationary point solves a scalar quadratic).  This resolves the strong
-  angular sensitivity at small distances that pure point sampling misses.
+  reads one endpoint sample; the parabola through the last *three*
+  consecutive samples is maximised analytically over the trailing
+  two-segment window (the stationary point of ``(h(t) - z0)/(s + t)``
+  solves a scalar quadratic).  This resolves the strong angular sensitivity
+  at small distances that pure point sampling misses, at one heightfield
+  read per step.
 * Far field: a conservative max-mip pyramid (:mod:`.mip`) with
   distance-proportional steps; the angular error is bounded by
   ``footprint / distance * slope``, controlled by the ``hori_acc`` knob
   (the reference quantises elevation to ``hori_acc / 5`` steps,
   horizon_comp.cpp:721-731).
+
+Performance notes
+-----------------
+The marching loops are ``lax.scan``s unrolled by :data:`UNROLL` steps per
+iteration so the running-maximum carries round-trip HBM once per ``UNROLL``
+samples instead of once per sample (the dominant traffic otherwise).
 
 Geometry modes
 --------------
@@ -58,6 +65,9 @@ from horayzon_tpu.ops import mip
 _NEG_INIT = -3.0e38
 _DEN_EPS = 1.0e-6
 
+#: scan-unroll factor (samples per scan iteration)
+UNROLL = 8
+
 
 # ---------------------------------------------------------------------------
 # Sample schedule
@@ -65,21 +75,29 @@ _DEN_EPS = 1.0e-6
 
 @dataclasses.dataclass(frozen=True)
 class Phase:
-    """One constant-mip-level marching phase."""
+    """One constant-mip-level marching phase.
+
+    kind: 'd2' — level-0 near field, two reads per step (midpoint +
+          endpoint; per-interval exact parabola);
+          'd1' — level-0, one read per step (trailing-window parabola);
+          'mip' — coarse-level point samples.
+    """
     level: int          # mip level
     pad: int            # padding (in level cells) applied to this level
-    num: int            # number of samples / segments
+    num: int            # number of samples
+    kind: str = "mip"
+    #: True when every sample of the phase provably stays inside the real
+    #: heightfield for all inner cells (halo wide enough) — the per-sample
+    #: in-domain masks can then be skipped.
+    safe: bool = False
 
     def key(self):
-        return (self.level, self.pad, self.num)
+        return (self.kind, self.level, self.pad, self.num, self.safe)
 
 
 @dataclasses.dataclass(frozen=True)
 class Schedule:
-    """Distance-sample schedule shared by all azimuths.
-
-    Phase 0 (level 0) distances are *segment endpoints* (segment k spans
-    [s_k - step, s_k]); higher-level phases are point samples."""
+    """Distance-sample schedule shared by all azimuths."""
     phases: tuple               # tuple of Phase
     s_values: tuple             # tuple of np.ndarray (one per phase) [metre]
     step: float                 # base step [metre]
@@ -98,8 +116,7 @@ class Schedule:
 
     @property
     def num_samples(self):
-        # level-0 segments cost two heightfield reads (midpoint + endpoint)
-        return sum(2 * p.num if p.level == 0 else p.num
+        return sum(2 * p.num if p.kind == "d2" else p.num
                    for p in self.phases)
 
     def meta(self):
@@ -107,7 +124,7 @@ class Schedule:
         return tuple(p.key() for p in self.phases)
 
 
-def build_schedule(step, dist_search, rel_err, max_level=10):
+def build_schedule(step, dist_search, rel_err, max_level=10, near_exact=16):
     """Build the marching schedule.
 
     Parameters
@@ -122,6 +139,10 @@ def build_schedule(step, dist_search, rel_err, max_level=10):
         and the mip level.
     max_level : int
         Maximum mip level to use.
+    near_exact : int
+        Number of leading dense steps evaluated with two reads per step
+        (per-interval exact parabolas) — the strongly angle-sensitive near
+        field; the remaining dense steps use one read per step.
     """
     if dist_search <= 0.0:
         raise ValueError("dist_search must be positive")
@@ -130,13 +151,17 @@ def build_schedule(step, dist_search, rel_err, max_level=10):
 
     phases = []
     s_arrays = []
-    # Dense phase at native resolution: segment endpoints step, 2*step, ...
+    # Dense phases at native resolution: sample points step, 2*step, ...
     n0 = min(n_dense, int(math.ceil(dist_search / step)))
     s = np.arange(1, n0 + 1, dtype=np.float64) * step
     s_end = float(s[-1])
     pad0 = int(math.ceil(s_end / step)) + 2
-    phases.append(Phase(level=0, pad=pad0, num=len(s)))
-    s_arrays.append(s.astype(np.float32))
+    n2 = min(near_exact, n0)
+    phases.append(Phase(level=0, pad=pad0, num=n2, kind="d2"))
+    s_arrays.append(s[:n2].astype(np.float32))
+    if n0 > n2:
+        phases.append(Phase(level=0, pad=pad0, num=n0 - n2, kind="d1"))
+        s_arrays.append(s[n2:].astype(np.float32))
 
     level = 1
     while s_end < dist_search - 1.0e-6:
@@ -153,7 +178,7 @@ def build_schedule(step, dist_search, rel_err, max_level=10):
         s = np.minimum(s, dist_search)
         s_end = float(s[-1])
         pad = int(math.ceil(s_end / (step * 2 ** lvl))) + 2
-        phases.append(Phase(level=lvl, pad=pad, num=len(s)))
+        phases.append(Phase(level=lvl, pad=pad, num=len(s), kind="mip"))
         s_arrays.append(s.astype(np.float32))
         if lvl == max_level:
             break
@@ -166,6 +191,43 @@ def build_schedule(step, dist_search, rel_err, max_level=10):
 def default_rel_err(hori_acc_deg):
     """Far-field error budget matching the reference ``hori_acc`` contract."""
     return math.tan(math.radians(max(hori_acc_deg, 0.02)))
+
+
+def mark_safe_phases(schedule, halo_cells):
+    """Split/flag dense phases whose samples provably stay inside the grid.
+
+    ``halo_cells``: minimum distance (in cells) from any inner cell to the
+    outer-grid edge.  Samples with ``s/step + 2 <= halo_cells`` cannot read
+    outside the real heightfield for any inner cell, so their in-domain
+    masks are skipped (``Phase.safe``).  Dense phases straddling the
+    boundary are split in two.
+    """
+    s_safe = (halo_cells - 2) * schedule.step
+    phases = []
+    s_arrays = []
+    for ph, s in zip(schedule.phases, schedule.s_values):
+        if ph.kind not in ("d1", "d2"):
+            phases.append(ph)
+            s_arrays.append(s)
+            continue
+        n_safe = int(np.searchsorted(s, s_safe, side="right"))
+        # Interior dense-phase boundaries must fall on UNROLL multiples:
+        # the scan tables pad trailing samples by duplication, which would
+        # otherwise corrupt the parabola history entering the next phase.
+        n_safe = (n_safe // UNROLL) * UNROLL
+        if n_safe == len(s):
+            phases.append(dataclasses.replace(ph, safe=True))
+            s_arrays.append(s)
+        elif n_safe == 0:
+            phases.append(ph)
+            s_arrays.append(s)
+        else:
+            phases.append(dataclasses.replace(ph, num=n_safe, safe=True))
+            s_arrays.append(s[:n_safe])
+            phases.append(dataclasses.replace(ph, num=len(s) - n_safe))
+            s_arrays.append(s[n_safe:])
+    return Schedule(phases=tuple(phases), s_values=tuple(s_arrays),
+                    step=schedule.step, dist=schedule.dist)
 
 
 # ---------------------------------------------------------------------------
@@ -201,18 +263,6 @@ def _read_mip(zp, level, base_i, base_j, r_i, r_j, inner_shape):
     return lax.dynamic_slice(up, (r_i, r_j), (in0, in1))
 
 
-# ---------------------------------------------------------------------------
-# Segment-exact maximisation (level-0 phase)
-# ---------------------------------------------------------------------------
-
-def _segment_quad_coeffs(h0, hm, h1, length):
-    """Quadratic h(t) = a t^2 + b t + h0 through the segment's three reads."""
-    inv_l = 1.0 / length
-    a = (2.0 * h1 + 2.0 * h0 - 4.0 * hm) * inv_l * inv_l
-    b = (4.0 * hm - 3.0 * h0 - h1) * inv_l
-    return a, b
-
-
 def _inside_mask(i0, j0, fi, fj, pad0, inner_shape, outer_shape):
     """Per-cell mask: bilinear read lies fully inside the real heightfield.
 
@@ -234,8 +284,18 @@ def _inside_mask(i0, j0, fi, fj, pad0, inner_shape, outer_shape):
     return ok_i & ok_j
 
 
-def _segment_interior_t(a, b, h0, z0, s_start, length):
-    """Interior stationary point of (h(t) - z0)/(s_start + t) on (0, length).
+def _segment_quad_coeffs(h0, hm, h1, length):
+    """Quadratic h(t) = a t^2 + b t + h0 through three equally spaced
+    samples at t = 0, length/2, length."""
+    inv_l = 1.0 / length
+    a = (2.0 * h1 + 2.0 * h0 - 4.0 * hm) * inv_l * inv_l
+    b = (4.0 * hm - 3.0 * h0 - h1) * inv_l
+    return a, b
+
+
+def _segment_interior_t(a, b, h0, z0, s_start, length, t_lo=0.0):
+    """Interior stationary point of (h(t) - z0)/(s_start + t) on
+    (t_lo, length).
 
     Solves a t^2 + 2 a s t + (b s - h0 + z0) = 0 for t; returns (t, valid).
     """
@@ -246,29 +306,29 @@ def _segment_interior_t(a, b, h0, z0, s_start, length):
     pos = rad > 0.0
     safe_rad = jnp.where(pos, rad, 1.0)
     t = -s_start + jnp.sqrt(safe_rad)
-    valid = (jnp.abs(a) > 1e-12) & pos & (t > 1e-3) \
+    valid = (jnp.abs(a) > 1e-12) & pos & (t > t_lo + 1e-3) \
         & (t < length - 1e-3)
     return jnp.clip(t, 0.0, length), valid
-
-
 
 
 # ---------------------------------------------------------------------------
 # Host-side shift precomputation (horizon: static azimuths)
 # ---------------------------------------------------------------------------
 
-def _dense_entry(di, dj, off0, off1, pad):
-    fi0 = np.floor(di)
-    fj0 = np.floor(dj)
-    return {
-        "i0": (off0 + pad + fi0).astype(np.int32),
-        "j0": (off1 + pad + fj0).astype(np.int32),
-        "fi": (di - fi0).astype(np.float32),
-        "fj": (dj - fj0).astype(np.float32),
-    }
+def _pad_unroll(arr, unroll):
+    """Pad the sample axis (last) to a multiple of ``unroll`` by repeating
+    the final sample (duplicate max-updates are no-ops), then fold it into
+    (..., M/unroll, unroll)."""
+    m = arr.shape[-1]
+    m_pad = ((m + unroll - 1) // unroll) * unroll
+    if m_pad != m:
+        last = arr[..., -1:]
+        arr = np.concatenate([arr] + [last] * (m_pad - m), axis=-1)
+    return arr.reshape(arr.shape[:-1] + (m_pad // unroll, unroll))
 
 
-def horizon_shift_tables(schedule, azim, dx, dy, offset, u_xy=None):
+def horizon_shift_tables(schedule, azim, dx, dy, offset, u_xy=None,
+                         unroll=UNROLL):
     """Per-(azimuth, sample) shift tables as numpy arrays.
 
     Parameters
@@ -284,14 +344,16 @@ def horizon_shift_tables(schedule, azim, dx, dy, offset, u_xy=None):
         Pre-computed horizontal marching directions (x, y components) per
         azimuth; defaults to ``(sin a, cos a)`` (planar ENU convention,
         matching horizon_comp.cpp:318-320 with east=x, north=y).
+    unroll : int
+        Samples per scan iteration; the sample axis is padded to a multiple
+        and folded to (A, M/unroll, unroll).
 
     Returns
     -------
-    list of dict (one per phase):
-        level 0:  midpoint entries ``m_i0, m_j0, m_fi, m_fj``, endpoint
-                  entries ``e_i0, e_j0, e_fi, e_fj`` (int32/float32 (A, M)),
-                  plus ``s`` (endpoint distance) and ``s_start`` float32.
-        level>0:  ``base_i, base_j, r_i, r_j`` int32 (A, M), ``s`` float32.
+    list of dict (one per phase) of (A, M/unroll, unroll) arrays:
+        level 0:  ``i0, j0`` int32, ``fi, fj`` float32, ``s`` and
+                  ``s_start`` (= s - 2*step; < 0 disables the parabola).
+        level>0:  ``base_i, base_j, r_i, r_j`` int32, ``s`` float32.
     """
     azim = np.asarray(azim, dtype=np.float64)
     a_num = azim.shape[0]
@@ -301,40 +363,60 @@ def horizon_shift_tables(schedule, azim, dx, dy, offset, u_xy=None):
     ux = np.asarray(u_xy[:, 0:1], dtype=np.float64)
     uy = np.asarray(u_xy[:, 1:2], dtype=np.float64)
 
+    def dense_entry(sv, pad, prefix=""):
+        di = sv * uy / dy
+        dj = sv * ux / dx
+        fi0 = np.floor(di)
+        fj0 = np.floor(dj)
+        return {
+            prefix + "i0": (off0 + pad + fi0).astype(np.int32),
+            prefix + "j0": (off1 + pad + fj0).astype(np.int32),
+            prefix + "fi": (di - fi0).astype(np.float32),
+            prefix + "fj": (dj - fj0).astype(np.float32),
+        }
+
     tables = []
     for phase, s in zip(schedule.phases, schedule.s_values):
         s64 = s.astype(np.float64)[None, :]          # (1, M)
-        if phase.level == 0:
-            s_mid = s64 - schedule.step / 2.0
-            s_start = s64 - schedule.step
-            entry = {}
-            mid = _dense_entry(s_mid * uy / dy, s_mid * ux / dx,
-                               off0, off1, phase.pad)
-            end = _dense_entry(s64 * uy / dy, s64 * ux / dx,
-                               off0, off1, phase.pad)
-            for k, v in mid.items():
-                entry["m_" + k] = v
-            for k, v in end.items():
-                entry["e_" + k] = v
+        if phase.kind == "d2":
+            entry = dense_entry(s64, phase.pad, "e_")
+            entry.update(dense_entry(s64 - schedule.step / 2.0,
+                                     phase.pad, "m_"))
             entry["s"] = np.broadcast_to(s64, (a_num, len(s))) \
                 .astype(np.float32)
-            entry["s_start"] = np.broadcast_to(s_start, (a_num, len(s))) \
+            entry["inv_s"] = np.broadcast_to(1.0 / s64, (a_num, len(s))) \
                 .astype(np.float32)
-            tables.append(entry)
+            entry["s_start"] = np.broadcast_to(
+                s64 - schedule.step, (a_num, len(s))).astype(np.float32)
+        elif phase.kind == "d1":
+            entry = dense_entry(s64, phase.pad)
+            entry["s"] = np.broadcast_to(s64, (a_num, len(s))) \
+                .astype(np.float32)
+            entry["inv_s"] = np.broadcast_to(1.0 / s64, (a_num, len(s))) \
+                .astype(np.float32)
+            entry["s_start"] = np.broadcast_to(
+                s64 - 2.0 * schedule.step,
+                (a_num, len(s))).astype(np.float32)
         else:
             k = 2 ** phase.level
             di = s64 * uy / dy
             dj = s64 * ux / dx
             ci = off0 + np.round(di).astype(np.int64)
             cj = off1 + np.round(dj).astype(np.int64)
-            tables.append({
+            entry = {
                 "base_i": (ci // k + phase.pad).astype(np.int32),
                 "base_j": (cj // k + phase.pad).astype(np.int32),
                 "r_i": (ci % k).astype(np.int32),
                 "r_j": (cj % k).astype(np.int32),
                 "s": np.broadcast_to(s64, (a_num, len(s)))
                 .astype(np.float32),
-            })
+                "inv_s": np.broadcast_to(1.0 / s64, (a_num, len(s)))
+                .astype(np.float32),
+            }
+        entry = {k2: _pad_unroll(np.ascontiguousarray(
+            np.broadcast_to(v, (a_num, v.shape[-1]))), unroll)
+            for k2, v in entry.items()}
+        tables.append(entry)
     return tables
 
 
@@ -358,7 +440,7 @@ def _horizon_core(z_outer, z_org, z_inner, geom, tables, trig, *, sched_meta,
     geom    : None (planar) or dict with per-cell float32 (in0, in1) fields
               ``ex, ey, ez, nx2, ny2, nz2, mx, my, mz`` = east / north / norm
               components
-    tables  : shift tables (pytree of (A, M) arrays)
+    tables  : shift tables (pytree of (A, Mu, U) arrays)
     trig    : dict with ``sin``, ``cos``, ``ux``, ``uy`` (A,) arrays
     """
     num_levels = len(pads)
@@ -384,10 +466,13 @@ def _horizon_core(z_outer, z_org, z_inner, geom, tables, trig, *, sched_meta,
             a_u = gx * ucx + gy * ucy                   # u_bar . u_cell_xy
             nz = geom["mz"]
 
-        def ratio_at(h, s):
+        def ratio_at(h, s, inv_s=None):
             """Elevation-angle ratio of sample (h at arc s) in the local
-            frame."""
+            frame.  ``inv_s`` (scalar 1/s) avoids the vector division on
+            the planar fast path."""
             if planar:
+                if inv_s is not None:
+                    return (h - z_org) * inv_s
                 return (h - z_org) / s
             dh = h - z_org
             num = s * a_n + dh * nz
@@ -402,63 +487,133 @@ def _horizon_core(z_outer, z_org, z_inner, geom, tables, trig, *, sched_meta,
         dist0 = z_inner * 0.0
         valid0 = z_inner == z_inner
 
-        carry = (ratio0, dist0, z_inner, valid0)
-
         def upd(ratio, dist, r_new, s_new):
             if track_dist:
                 dist = jnp.where(r_new > ratio, s_new, dist)
             return jnp.maximum(ratio, r_new), dist
 
-        for p, (level, pad, _) in enumerate(sched_meta):
+        ratio = ratio0
+        dist = dist0
+        # dense-history carry threads across the d2 -> d1 phase boundary
+        h1 = z_inner
+        h2 = z_inner
+        v1 = valid0
+        v2 = valid0
+        def interior_update(ratio, dist, a_c, b_c, h0, t, valid, s_start):
+            """Max-update with the parabola's interior stationary value.
+
+            At the stationary point of (P(t))/(s+t), the ratio equals the
+            parabola's *derivative* there: P'(t*) (s+t*) = P(t*) implies
+            f(t*) = P'(t*) = 2 a t* + b — division-free on the planar
+            path."""
+            s_t = s_start + t
+            if planar:
+                r_int = jnp.where(valid, 2.0 * a_c * t + b_c, _NEG_INIT)
+            else:
+                h_t = a_c * t * t + b_c * t + h0
+                r_int = jnp.where(
+                    valid & (s_t > _DEN_EPS),
+                    ratio_at(h_t, jnp.maximum(s_t, _DEN_EPS)),
+                    _NEG_INIT)
+            return upd(ratio, dist, r_int, s_t)
+
+        for p, (kind, level, pad, _, safe) in enumerate(sched_meta):
             ph = xs[f"p{p}"]
             zp = pyramid[level]
-            if level == 0:
-                def body0(c, x, pad=pad):
-                    ratio, dist, h_prev, v_prev = c
-                    hm = _read_dense(zp, x["m_i0"], x["m_j0"],
-                                     x["m_fi"], x["m_fj"], inner_shape)
-                    he = _read_dense(zp, x["e_i0"], x["e_j0"],
-                                     x["e_fi"], x["e_fj"], inner_shape)
-                    s_end = x["s"]
-                    s_start = x["s_start"]
-                    length = s_end - s_start
-                    # Endpoint contribution (sentinel blends are
-                    # conservative: large negative ratios never win)
-                    ratio, dist = upd(ratio, dist, ratio_at(he, s_end),
-                                      s_end)
-                    # Interior quadratic maximum (bilinear surface along a
-                    # straight track is piecewise quadratic); only where all
-                    # three reads are fully in-domain
-                    v_mid = _inside_mask(x["m_i0"], x["m_j0"], x["m_fi"],
-                                         x["m_fj"], pad, inner_shape,
-                                         outer_shape)
-                    v_end = _inside_mask(x["e_i0"], x["e_j0"], x["e_fi"],
-                                         x["e_fj"], pad, inner_shape,
-                                         outer_shape)
-                    a, b = _segment_quad_coeffs(h_prev, hm, he, length)
-                    t, valid = _segment_interior_t(a, b, h_prev, z_org,
-                                                   s_start, length)
-                    valid = valid & v_prev & v_mid & v_end
-                    h_t = a * t * t + b * t + h_prev
-                    s_t = s_start + t
-                    r_int = jnp.where(valid & (s_t > _DEN_EPS),
-                                      ratio_at(h_t,
-                                               jnp.maximum(s_t, _DEN_EPS)),
-                                      _NEG_INIT)
-                    ratio, dist = upd(ratio, dist, r_int, s_t)
-                    return (ratio, dist, he, v_end), None
-                carry, _ = lax.scan(body0, carry, ph)
+
+            def mask_of(i0, j0, fi, fj, pad=pad, safe=safe):
+                if safe:
+                    return valid0
+                return _inside_mask(i0, j0, fi, fj, pad, inner_shape,
+                                    outer_shape)
+
+            if kind == "d2":
+                # Near field: midpoint + endpoint reads; exact parabola per
+                # one-step window [s - step, s]
+                def body2(c, x, mask_of=mask_of):
+                    ratio, dist, h1, h2, v1, v2 = c
+                    for u in range(x["s"].shape[-1]):
+                        s_end = x["s"][..., u]
+                        s_start = x["s_start"][..., u]
+                        hm = _read_dense(zp, x["m_i0"][..., u],
+                                         x["m_j0"][..., u],
+                                         x["m_fi"][..., u],
+                                         x["m_fj"][..., u], inner_shape)
+                        he = _read_dense(zp, x["e_i0"][..., u],
+                                         x["e_j0"][..., u],
+                                         x["e_fi"][..., u],
+                                         x["e_fj"][..., u], inner_shape)
+                        ratio, dist = upd(
+                            ratio, dist,
+                            ratio_at(he, s_end, x["inv_s"][..., u]), s_end)
+                        v_mid = mask_of(x["m_i0"][..., u],
+                                        x["m_j0"][..., u],
+                                        x["m_fi"][..., u],
+                                        x["m_fj"][..., u])
+                        v_end = mask_of(x["e_i0"][..., u],
+                                        x["e_j0"][..., u],
+                                        x["e_fi"][..., u],
+                                        x["e_fj"][..., u])
+                        length = s_end - s_start
+                        a_c, b_c = _segment_quad_coeffs(h1, hm, he, length)
+                        t, valid = _segment_interior_t(
+                            a_c, b_c, h1, z_org, s_start, length)
+                        valid = valid & v1 & v_mid & v_end
+                        ratio, dist = interior_update(
+                            ratio, dist, a_c, b_c, h1, t, valid, s_start)
+                        h2, v2 = h1, v1
+                        h1, v1 = he, v_end
+                    return (ratio, dist, h1, h2, v1, v2), None
+                carry = (ratio, dist, h1, h2, v1, v2)
+                (ratio, dist, h1, h2, v1, v2), _ = lax.scan(body2, carry,
+                                                            ph)
+            elif kind == "d1":
+                # Mid field: one read per step; parabola through the last
+                # three samples, maximised over the trailing interval
+                def body1(c, x, mask_of=mask_of):
+                    ratio, dist, h1, h2, v1, v2 = c
+                    for u in range(x["s"].shape[-1]):
+                        i0 = x["i0"][..., u]
+                        j0 = x["j0"][..., u]
+                        fi = x["fi"][..., u]
+                        fj = x["fj"][..., u]
+                        s_end = x["s"][..., u]
+                        s_start = x["s_start"][..., u]
+                        he = _read_dense(zp, i0, j0, fi, fj, inner_shape)
+                        ratio, dist = upd(
+                            ratio, dist,
+                            ratio_at(he, s_end, x["inv_s"][..., u]), s_end)
+                        v_end = mask_of(i0, j0, fi, fj)
+                        length = s_end - s_start
+                        a_c, b_c = _segment_quad_coeffs(h2, h1, he, length)
+                        t, valid = _segment_interior_t(
+                            a_c, b_c, h2, z_org, s_start, length,
+                            t_lo=0.5 * length)
+                        valid = valid & v2 & v1 & v_end
+                        ratio, dist = interior_update(
+                            ratio, dist, a_c, b_c, h2, t, valid, s_start)
+                        h2, v2 = h1, v1
+                        h1, v1 = he, v_end
+                    return (ratio, dist, h1, h2, v1, v2), None
+                carry = (ratio, dist, h1, h2, v1, v2)
+                (ratio, dist, h1, h2, v1, v2), _ = lax.scan(body1, carry,
+                                                            ph)
             else:
                 def bodyl(c, x, level=level):
-                    ratio, dist, h_prev, v_prev = c
-                    h = _read_mip(zp, level, x["base_i"], x["base_j"],
-                                  x["r_i"], x["r_j"], inner_shape)
-                    ratio, dist = upd(ratio, dist, ratio_at(h, x["s"]),
-                                      x["s"])
-                    return (ratio, dist, h_prev, v_prev), None
-                carry, _ = lax.scan(bodyl, carry, ph)
+                    ratio, dist = c
+                    for u in range(x["s"].shape[-1]):
+                        h = _read_mip(zp, level,
+                                      x["base_i"][..., u],
+                                      x["base_j"][..., u],
+                                      x["r_i"][..., u],
+                                      x["r_j"][..., u], inner_shape)
+                        ratio, dist = upd(ratio, dist,
+                                          ratio_at(h, x["s"][..., u],
+                                                   x["inv_s"][..., u]),
+                                          x["s"][..., u])
+                    return (ratio, dist), None
+                (ratio, dist), _ = lax.scan(bodyl, (ratio, dist), ph)
 
-        ratio, dist, _, _ = carry
         hori = jnp.arctan(ratio)
         return None, (hori, dist)
 
@@ -514,6 +669,12 @@ def horizon_sweep(z_outer, *, dx, dy, offset, inner_shape, azim, dist_search,
     if schedule is None:
         schedule = build_schedule(step, dist_search, rel_err,
                                   max_level=max_level)
+    # Flag dense samples that provably stay on-grid (skips per-sample masks)
+    h_out, w_out = z_outer.shape
+    halo = min(offset[0], offset[1],
+               h_out - offset[0] - inner_shape[0],
+               w_out - offset[1] - inner_shape[1])
+    schedule = mark_safe_phases(schedule, halo)
     azim = np.asarray(azim, dtype=np.float64)
     tables_np = horizon_shift_tables(schedule, azim, dx, dy, offset,
                                      u_xy=u_xy)
@@ -565,9 +726,9 @@ def _shadow_metric_core(z_outer, z_org, z_inner, m_slope, u_cells, s_phases,
     per-cell sun-ray slope dz/ds [m per metre of horizontal arc].  A positive
     result means the sun ray is occluded by terrain (the vectorised
     equivalent of reference shadow_comp.cpp:454-467, rtcOccluded1 with
-    tfar = inf).  Level-0 segments use the interior quadratic maximum like
-    the horizon sweep (here the stationary point is simply the parabola
-    vertex of ``h(t) - m t``).
+    tfar = inf).  Level-0 steps include the interior parabola maximum over
+    the trailing two-step window (the stationary point of
+    ``h(t) - m t`` is the parabola vertex).
     """
     num_levels = len(pads)
     pyramid = mip.padded_pyramid(z_outer, num_levels, pads)
@@ -575,6 +736,7 @@ def _shadow_metric_core(z_outer, z_org, z_inner, m_slope, u_cells, s_phases,
     off0, off1 = offset
     ui = u_cells[0]   # row cells per metre
     uj = u_cells[1]   # column cells per metre
+    outer_shape = z_outer.shape
 
     def dense_start(s):
         di = s * ui
@@ -584,54 +746,66 @@ def _shadow_metric_core(z_outer, z_org, z_inner, m_slope, u_cells, s_phases,
         return (fi0.astype(jnp.int32), fj0.astype(jnp.int32),
                 di - fi0, dj - fj0)
 
-    h_prev = z_inner
-    v_prev = jnp.ones(inner_shape, dtype=bool)
-    outer_shape = z_outer.shape
-    for p, (level, pad, _) in enumerate(sched_meta):
+    h1 = z_inner
+    h2 = z_inner
+    v1 = z_inner == z_inner
+    v2 = v1
+    for p, (kind, level, pad, *_rest) in enumerate(sched_meta):
         s_arr = s_phases[p]
         zp = pyramid[level]
         if level == 0:
-            def body0(c, s, zp=zp, pad=pad):
-                metric, h_prev, v_prev, s_prev = c
-                length = s - s_prev
-                i0m, j0m, fim, fjm = dense_start(s - length / 2.0)
-                im = i0m + (off0 + pad)
-                jm = j0m + (off1 + pad)
-                hm = _read_dense(zp, im, jm, fim, fjm, inner_shape)
-                i0e, j0e, fie, fje = dense_start(s)
-                ie = i0e + (off0 + pad)
-                je = j0e + (off1 + pad)
-                he = _read_dense(zp, ie, je, fie, fje, inner_shape)
-                new = jnp.maximum(metric, he - z_org - s * m_slope)
-                # Interior parabola vertex of g(t) = h(t) - m_slope * t
-                v_mid = _inside_mask(im, jm, fim, fjm, pad, inner_shape,
-                                     outer_shape)
-                v_end = _inside_mask(ie, je, fie, fje, pad, inner_shape,
-                                     outer_shape)
-                a, b = _segment_quad_coeffs(h_prev, hm, he, length)
-                t = (m_slope - b) / jnp.where(jnp.abs(a) > 1e-12,
-                                              2.0 * a, jnp.float32(1e-12))
-                valid = (jnp.abs(a) > 1e-12) & (a < 0.0) \
-                    & (t > 0.0) & (t < length) \
-                    & v_prev & v_mid & v_end
-                g_t = (a * t * t + b * t + h_prev
-                       - z_org - (s_prev + t) * m_slope)
-                new = jnp.maximum(new, jnp.where(valid, g_t, _NEG_INIT))
-                return (new, he, v_end, s), None
-            (metric, h_prev, v_prev, _), _ = lax.scan(
-                body0, (metric, h_prev, v_prev, jnp.float32(0.0)), s_arr)
+            # The trailing parabola window spans the last two steps;
+            # step length comes from consecutive s values in the carry.
+            def body0_fixed(c, s_blk, zp=zp, pad=pad):
+                metric, h1, h2, v1, v2, s_last = c
+                for u in range(s_blk.shape[-1]):
+                    s = s_blk[u]
+                    # padded duplicate samples give step_len 0 -> guard
+                    step_len = jnp.maximum(s - s_last, 1e-3)
+                    s_start = s - 2.0 * step_len
+                    length = 2.0 * step_len
+                    i0, j0, fi, fj = dense_start(s)
+                    ii = i0 + (off0 + pad)
+                    jj = j0 + (off1 + pad)
+                    he = _read_dense(zp, ii, jj, fi, fj, inner_shape)
+                    metric = jnp.maximum(metric,
+                                         he - z_org - s * m_slope)
+                    v_end = _inside_mask(ii, jj, fi, fj, pad, inner_shape,
+                                         outer_shape)
+                    a_c, b_c = _segment_quad_coeffs(h2, h1, he, length)
+                    t = (m_slope - b_c) / jnp.where(
+                        jnp.abs(a_c) > 1e-12, 2.0 * a_c,
+                        jnp.float32(1e-12))
+                    valid = (jnp.abs(a_c) > 1e-12) & (a_c < 0.0) \
+                        & (t > 0.5 * length) & (t < length) \
+                        & v2 & v1 & v_end & (s_start > -1e-6)
+                    g_t = (a_c * t * t + b_c * t + h2
+                           - z_org - (s_start + t) * m_slope)
+                    metric = jnp.maximum(
+                        metric, jnp.where(valid, g_t, _NEG_INIT))
+                    h2, v2 = h1, v1
+                    h1, v1 = he, v_end
+                    s_last = s
+                return (metric, h1, h2, v1, v2, s_last), None
+            carry = (metric, h1, h2, v1, v2, jnp.float32(0.0))
+            (metric, h1, h2, v1, v2, _), _ = lax.scan(
+                body0_fixed, carry, s_arr)
         else:
             k = 2 ** level
-            def bodyl(c, s, k=k, zp=zp, pad=pad, level=level):
-                ci = jnp.round(s * ui).astype(jnp.int32) + off0
-                cj = jnp.round(s * uj).astype(jnp.int32) + off1
-                base_i = jnp.floor_divide(ci, k) + pad
-                base_j = jnp.floor_divide(cj, k) + pad
-                r_i = jnp.mod(ci, k)
-                r_j = jnp.mod(cj, k)
-                h = _read_mip(zp, level, base_i, base_j, r_i, r_j,
-                              inner_shape)
-                return jnp.maximum(c, h - z_org - s * m_slope), None
+            def bodyl(c, s_blk, k=k, zp=zp, pad=pad, level=level):
+                metric = c
+                for u in range(s_blk.shape[-1]):
+                    s = s_blk[u]
+                    ci = jnp.round(s * ui).astype(jnp.int32) + off0
+                    cj = jnp.round(s * uj).astype(jnp.int32) + off1
+                    base_i = jnp.floor_divide(ci, k) + pad
+                    base_j = jnp.floor_divide(cj, k) + pad
+                    r_i = jnp.mod(ci, k)
+                    r_j = jnp.mod(cj, k)
+                    h = _read_mip(zp, level, base_i, base_j, r_i, r_j,
+                                  inner_shape)
+                    metric = jnp.maximum(metric, h - z_org - s * m_slope)
+                return metric, None
             metric, _ = lax.scan(bodyl, metric, s_arr)
     return metric
 
@@ -639,7 +813,9 @@ def _shadow_metric_core(z_outer, z_org, z_inner, m_slope, u_cells, s_phases,
 def shadow_metric(z_outer, z_org, z_inner, m_slope, u_cells, schedule,
                   offset, inner_shape):
     """Run the shadow occlusion sweep; see :func:`_shadow_metric_core`."""
-    s_phases = tuple(jnp.asarray(s) for s in schedule.s_values)
+    s_phases = tuple(
+        jnp.asarray(_pad_unroll(s[None, :], UNROLL)[0]) for s in
+        schedule.s_values)
     return _shadow_metric_core(
         z_outer, z_org, z_inner, m_slope,
         jnp.asarray(u_cells, dtype=jnp.float32),

@@ -98,11 +98,13 @@ def horizon_sweep_sharded(mesh, z_outer, *, dx, dy, offset, inner_shape,
             lambda a: jax.lax.pcast(a, (_mesh.AXIS_AZIM,), to="varying"),
             geom_sh)
         adj = []
-        for p, (level, pad, _) in enumerate(sched_meta):
+        for p, (kind, level, pad, *_rest) in enumerate(sched_meta):
             t = dict(tables_sh[f"p{p}"])
-            if level == 0:
+            if kind == "d2":
                 t["m_i0"] = t["m_i0"] + row0
                 t["e_i0"] = t["e_i0"] + row0
+            elif kind == "d1":
+                t["i0"] = t["i0"] + row0
             else:
                 k = 2 ** level
                 ci = (t["base_i"] - pad) * k + t["r_i"] + row0
@@ -122,7 +124,7 @@ def horizon_sweep_sharded(mesh, z_outer, *, dx, dy, offset, inner_shape,
     tables_named = {f"p{p}": t for p, t in enumerate(tables)}
 
     table_specs = jax.tree_util.tree_map(
-        lambda _: P(_mesh.AXIS_AZIM, None), tables_named)
+        lambda _: P(_mesh.AXIS_AZIM, None, None), tables_named)
     trig_specs = jax.tree_util.tree_map(lambda _: P(_mesh.AXIS_AZIM), trig)
     geom_specs = jax.tree_util.tree_map(
         lambda _: P(_mesh.AXIS_TILE, None), geom_in)

@@ -273,8 +273,10 @@ class Terrain:
             "center": jnp.asarray([cx, cy], dtype=jnp.float32),
             "dxdy": jnp.asarray([comp_grid.dx, comp_grid.dy],
                                 dtype=jnp.float32),
-            "s_phases": tuple(jnp.asarray(s)
-                              for s in self.schedule.s_values),
+            "s_phases": tuple(
+                jnp.asarray(_sweep._pad_unroll(s[None, :],
+                                               _sweep.UNROLL)[0])
+                for s in self.schedule.s_values),
         }
         if back is not None:
             fields["bi"] = jnp.asarray(back[0])

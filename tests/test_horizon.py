@@ -132,7 +132,8 @@ def test_schedule_structure():
 def test_schedule_short_distance():
     sched = sweep.build_schedule(25.0, 100.0, rel_err=0.005)
     assert len(sched.phases) == 1
-    # 4 segments, two heightfield reads each
+    assert sched.phases[0].kind == "d2"
+    # near-exact phase: two heightfield reads per sample
     assert sched.num_samples == 8
 
 
