@@ -7,6 +7,11 @@
 
 import argparse
 import os
+import sys
+
+sys.path.insert(0, os.path.abspath(os.path.join(
+    os.path.dirname(__file__), "..", "..")))  # run without install
+
 
 import numpy as np
 

@@ -1,0 +1,53 @@
+import os
+import tempfile
+
+import numpy as np
+
+from horayzon_tpu.utils import profiling, streaming
+
+from reference_impl import gaussian_bumps_terrain
+
+
+def test_tiled_runner_matches_single_sweep_and_resumes():
+    from horayzon_tpu.ops import sweep
+
+    z = gaussian_bumps_terrain(96, 96, seed=13, amp=400.0)
+    azim = (2 * np.pi / 4) * np.arange(4)
+    kw = dict(dx=25.0, dy=-25.0, offset=(24, 24), inner_shape=(48, 48),
+              azim=azim, dist_search=500.0)
+    ref, _ = sweep.horizon_sweep(z, **kw)
+    ref = np.asarray(ref)
+
+    with tempfile.TemporaryDirectory() as td:
+        runner = streaming.TiledHorizonRunner(z, out_dir=td, tile=(32, 32),
+                                              **kw)
+        paths = runner.run(verbose=False)
+        assert all(os.path.exists(p) for p in paths)
+        out = runner.assemble()
+        np.testing.assert_allclose(out, ref, atol=1e-6)
+
+        # Resume: delete one tile, run again -> only that tile recomputed
+        os.unlink(paths[1])
+        mtimes = {p: os.path.getmtime(p) for p in paths if os.path.exists(p)}
+        runner.run(verbose=False)
+        assert os.path.exists(paths[1])
+        for p, m in mtimes.items():
+            assert os.path.getmtime(p) == m  # untouched tiles not redone
+        out2 = runner.assemble()
+        np.testing.assert_allclose(out2, ref, atol=1e-6)
+
+
+def test_sweep_stats():
+    stats = profiling.SweepStats(wall_time_s=2.0, cells=1000, azim_num=10,
+                                 samples_per_cell_azim=100)
+    assert stats.samples_per_s == 1000 * 10 * 100 / 2.0
+    assert stats.rays_per_s_equivalent == 1000 * 10 * 2.0 / 2.0
+    assert "rays_per_s_equivalent" in stats.to_json()
+
+
+def test_time_sweep_runs():
+    import jax.numpy as jnp
+    stats = profiling.time_sweep(lambda: jnp.ones((8, 8)), cells=64,
+                                 azim_num=1, samples_per_cell_azim=1,
+                                 iters=1)
+    assert stats.wall_time_s > 0
