@@ -43,9 +43,11 @@ _RAY_ORG_ELEV = 0.05  # hard-coded lift of the ray origin [m]
 @functools.partial(
     jax.jit,
     static_argnames=("sched_meta", "pads", "offset", "comp_shape",
-                     "refrac_cor", "mode", "ang_max", "curved"))
+                     "refrac_cor", "mode", "ang_max", "curved", "engine",
+                     "scan_meta"))
 def _sun_step(z_outer, fields, sun_position, *, sched_meta, pads, offset,
-              comp_shape, refrac_cor, mode, ang_max, curved):
+              comp_shape, refrac_cor, mode, ang_max, curved,
+              engine="sweep", scan_meta=None):
     """One sun position -> shadow mask (mode='shadow') or correction factor
     (mode='sw_dir_cor').  Mirrors CppTerrain::shadow / ::sw_dir_cor
     (shadow_comp.cpp:386-605).
@@ -78,11 +80,23 @@ def _sun_step(z_outer, fields, sun_position, *, sched_meta, pads, offset,
     adv = (sxr * kx_u + syr * ky_u) / mag_r
     m_slope = (szr / mag_r) / jnp.maximum(adv, 1.0e-4)
 
-    metric = _sweep._shadow_metric_core(
-        z_outer, z_org_r, fields["z_inner_r"], m_slope, u_cells,
-        fields["s_phases"],
-        sched_meta=sched_meta, pads=pads, offset=offset,
-        inner_shape=comp_shape)
+    if engine == "scan":
+        # Log-doubling suffix-max scan (ops/shadow_scan.py): O(log N)
+        # whole-grid passes with the domain-mean ray slope.
+        from horayzon_tpu.ops import shadow_scan as _scan
+        num_doublings, pad, step = scan_meta
+        cz = fields["center"][2]
+        m_mean = (sun_position[2] - cz) / jnp.maximum(k_norm, 1e-6)
+        metric = _scan._shadow_scan_core(
+            z_outer, z_org_r, m_mean, u_cells, step,
+            num_doublings=num_doublings, pad=pad, offset=offset,
+            inner_shape=comp_shape)
+    else:
+        metric = _sweep._shadow_metric_core(
+            z_outer, z_org_r, fields["z_inner_r"], m_slope, u_cells,
+            fields["s_phases"],
+            sched_meta=sched_meta, pads=pads, offset=offset,
+            inner_shape=comp_shape)
     occluded = jnp.logical_and(metric > 0.0, jnp.logical_not(near_vertical))
     if curved:
         occluded = occluded[fields["bi"], fields["bj"]]
@@ -137,11 +151,17 @@ class Terrain:
                    sw_dir_cor_fill=np.nan,
                    ang_max=89.0,
                    refrac_cor=False,
-                   acc=0.25):
+                   acc=0.25,
+                   engine="sweep"):
         """Load DEM data and build the device-resident terrain state.
 
         Signature mirrors shadow.pyx:27-147 (``acc`` is the TPU-native
-        accuracy knob driving the sweep sample density)."""
+        accuracy knob driving the sweep sample density; ``engine`` selects
+        the occlusion kernel: "sweep" = marching sweep, "scan" =
+        log-doubling suffix-max scan, see ops/shadow_scan.py)."""
+        if engine not in ("sweep", "scan"):
+            raise ValueError("engine must be 'sweep' or 'scan'")
+        self.engine = engine
         vec_tilt = np.asarray(vec_tilt, dtype=np.float32)
         vec_norm = np.asarray(vec_norm, dtype=np.float32)
         surf_enl_fac = np.asarray(surf_enl_fac, dtype=np.float32)
@@ -248,10 +268,16 @@ class Terrain:
         rel_err = _sweep.default_rel_err(acc)
         self.schedule = _sweep.build_schedule(step, diag, rel_err)
 
+        step_m = min(abs(comp_grid.dx), abs(comp_grid.dy))
+        k_cells = max(1, int(math.ceil(diag / step_m)))
+        self.scan_meta = (max(0, int(math.ceil(math.log2(k_cells)))),
+                          k_cells + 2, float(step_m))
+
         x_axis = comp_grid.x_axis()
         y_axis = comp_grid.y_axis()
         cx = 0.5 * (x_axis[0] + x_axis[-1])
         cy = 0.5 * (y_axis[0] + y_axis[-1])
+        cz = float(np.mean(z_org_r))
 
         self._z_outer = jnp.asarray(z_comp, dtype=jnp.float32)
         fields = {
@@ -270,7 +296,7 @@ class Terrain:
             "elevation": jnp.asarray(elevation),
             "mask": jnp.asarray(mask == 1),
             "sw_dir_cor_fill": jnp.float32(sw_dir_cor_fill),
-            "center": jnp.asarray([cx, cy], dtype=jnp.float32),
+            "center": jnp.asarray([cx, cy, cz], dtype=jnp.float32),
             "dxdy": jnp.asarray([comp_grid.dx, comp_grid.dy],
                                 dtype=jnp.float32),
             "s_phases": tuple(
@@ -308,7 +334,9 @@ class Terrain:
                       comp_shape=self.comp_shape,
                       refrac_cor=self.refrac_cor,
                       mode=mode, ang_max=self.ang_max,
-                      curved=self._curved)
+                      curved=self._curved,
+                      engine=self.engine,
+                      scan_meta=self.scan_meta)
         if sun_position.ndim == 1:
             return _sun_step(self._z_outer, self._fields,
                              jnp.asarray(sun_position), **kwargs)

@@ -169,3 +169,63 @@ def test_refraction_rotation_lifts_sun():
     # Refraction lifts the apparent sun
     assert out[0, 2] > 0.342
     np.testing.assert_allclose(np.linalg.norm(out, axis=-1), 1.0, atol=1e-5)
+
+
+def test_shadow_scan_matches_sweep_metric():
+    """Log-doubling scan occlusion agrees with the marching sweep."""
+    import jax.numpy as jnp
+
+    from horayzon_tpu.ops import shadow_scan, sweep
+
+    dx = 25.0
+    z = gaussian_bumps_terrain(64, 64, seed=17, amp=500.0)
+    off = (16, 16)
+    inner = (32, 32)
+    z_in = z[16:48, 16:48]
+    z_org = z_in + 0.05
+    diag = np.hypot(64 * dx, 64 * dx)
+    # Sun east at ~12 degrees
+    ux, uy, m = 1.0, 0.0, 0.2
+    u_cells = np.array([uy / (-dx), ux / dx], dtype=np.float32)
+    sched = sweep.build_schedule(dx, diag, sweep.default_rel_err(0.25))
+    m_sweep = np.asarray(sweep.shadow_metric(
+        jnp.asarray(z), jnp.asarray(z_org), jnp.asarray(z_in),
+        jnp.full(inner, m, np.float32), u_cells, sched, off, inner))
+    m_scan = np.asarray(shadow_scan.shadow_scan_metric(
+        jnp.asarray(z), jnp.asarray(z_org), jnp.float32(m), u_cells, dx,
+        diag, off, inner))
+    occ_sweep = m_sweep > 0
+    occ_scan = m_scan > 0
+    agree = (occ_sweep == occ_scan).mean()
+    assert agree > 0.97, f"scan vs sweep occlusion agreement {agree:.3f}"
+    # metric values close away from the decision boundary
+    both = np.abs(m_sweep) > 5.0
+    assert np.abs(m_scan - m_sweep)[both].max() < 30.0
+
+
+def test_terrain_scan_engine_matches_sweep_engine():
+    z = gaussian_bumps_terrain(48, 48, seed=5, amp=500.0)
+    t1, vec_tilt, xx, yy = _planar_setup(z)
+    # Build a second terrain with the scan engine
+    h, w = z.shape
+    off, in0, in1 = 8, 32, 32
+    vert_grid = auxiliary.rearrange_pad_buffer(xx.astype(np.float32),
+                                               yy.astype(np.float32), z)
+    vec_norm = np.zeros((in0, in1, 3), dtype=np.float32)
+    vec_norm[..., 2] = 1.0
+    surf = topo_param.surface_enlargement_factor(vec_norm, vec_tilt)
+    mask = np.ones((in0, in1), dtype=np.uint8)
+    t2 = shadow.Terrain()
+    t2.initialise(vert_grid, h, w, off, off, vec_tilt, vec_norm, surf,
+                  np.ascontiguousarray(z[off:off + in0, off:off + in1]),
+                  mask, engine="scan")
+    for sun in [np.array([1e7, 0, 2e6], np.float32),
+                np.array([-4e6, 8e6, 1.5e6], np.float32)]:
+        s1 = t1.shadow(sun)
+        s2 = t2.shadow(sun)
+        agree = (s1 == s2).mean()
+        assert agree > 0.97, f"engine agreement {agree:.3f}"
+        c1 = t1.sw_dir_cor(sun)
+        c2 = t2.sw_dir_cor(sun)
+        close = np.isclose(c1, c2, atol=0.05).mean()
+        assert close > 0.97
