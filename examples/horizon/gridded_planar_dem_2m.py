@@ -48,7 +48,7 @@ def main():
     r = 2 ** args.ratio_log2
     # Fine grid must cover the inner domain + the halo marched at fine
     # levels (validated by horizon_sweep_multires)
-    halo_fine = 1600
+    halo_fine = 2048
     n_fine = args.inner + 2 * halo_fine
 
     if args.dem_dir:

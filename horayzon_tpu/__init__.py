@@ -34,7 +34,10 @@ from horayzon_tpu import topo_param
 from horayzon_tpu import transform
 from horayzon_tpu import sun_position
 from horayzon_tpu import terrain
+from horayzon_tpu import regrid
 from horayzon_tpu import ops
 from horayzon_tpu import parallel
+from horayzon_tpu import models
+from horayzon_tpu import utils
 
 __version__ = "0.1.0"

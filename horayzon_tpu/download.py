@@ -38,17 +38,25 @@ def file(file_url, path_local, ssl_verify=True):
     return file_local
 
 
-def get_file(file_url, path_local, ssl_verify=True):
-    """Download one file without a progress bar (download.py:115-128)."""
+def get_file(file_url, path_local, ssl_verify=True, retries=2):
+    """Download one file without a progress bar (download.py:115-128);
+    transient failures are retried ``retries`` times."""
     import requests
-    response = requests.get(file_url, stream=True, verify=ssl_verify)
-    response.raise_for_status()
-    file_local = os.path.join(path_local, os.path.basename(
-        file_url.split("?")[0]))
-    with open(file_local, "wb") as f:
-        for chunk in response.iter_content(chunk_size=1024 * 256):
-            f.write(chunk)
-    return file_local
+    last_exc = None
+    for _ in range(retries + 1):
+        try:
+            response = requests.get(file_url, stream=True,
+                                    verify=ssl_verify, timeout=60)
+            response.raise_for_status()
+            file_local = os.path.join(path_local, os.path.basename(
+                file_url.split("?")[0]))
+            with open(file_local, "wb") as f:
+                for chunk in response.iter_content(chunk_size=1024 * 256):
+                    f.write(chunk)
+            return file_local
+        except requests.RequestException as exc:
+            last_exc = exc
+    raise last_exc
 
 
 def files(file_urls, path_local, mode="parallel", block_size=500,

@@ -23,7 +23,6 @@ Differences from the reference (documented behaviour):
   ``hori_acc``.
 """
 
-import math
 import time
 
 import numpy as np

@@ -12,7 +12,6 @@ backward pass (gradients w.r.t. the shared heightfield) psums automatically
 through the ``shard_map`` transpose.
 """
 
-import functools
 import math
 
 import jax
@@ -20,7 +19,6 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import PartitionSpec as P
 
-from horayzon_tpu import terrain as _terrain
 from horayzon_tpu.ops import sweep as _sweep
 from horayzon_tpu.parallel import mesh as _mesh
 
