@@ -117,6 +117,31 @@ def main():
         "hori_mean_deg": float(np.rad2deg(hori_mean)),
     }
 
+    # Shadow benchmark: one sun position = one ray/cell in the reference
+    # (shadow_comp.cpp:386-491); the log-doubling scan engine computes it in
+    # O(log N) whole-grid passes.
+    from horayzon_tpu.ops import shadow_scan
+    z_org = z_dev[args.halo:args.halo + in0,
+                  args.halo:args.halo + in1] + 0.05
+    u_cells = np.array([0.17 / (-args.dx), 0.985 / args.dx],
+                       dtype=np.float32)
+    diag = float(np.hypot(h * args.dx, w * args.dx))
+
+    def run_shadow():
+        return shadow_scan.shadow_scan_metric(
+            z_dev, z_org, jnp.float32(0.2), u_cells, args.dx, diag,
+            (args.halo, args.halo), (in0, in1))
+
+    hm = float(jnp.mean(run_shadow()))  # warm-up
+    times_sh = []
+    for _ in range(args.iters):
+        t0 = time.perf_counter()
+        hm = float(jnp.mean(run_shadow()))
+        times_sh.append(time.perf_counter() - t0)
+    dt_sh = min(times_sh)
+    result["shadow_scan_s_per_sun_position"] = dt_sh
+    result["shadow_rays_per_s"] = cells / dt_sh
+
     if args.cpu_baseline:
         # Measured CPU baseline: the native multithreaded ray-marcher
         # (horayzon_tpu/native/fastdem.cpp) running the *same algorithm*

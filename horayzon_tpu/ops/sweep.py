@@ -718,7 +718,8 @@ def horizon_sweep(z_outer, *, dx, dy, offset, inner_shape, azim, dist_search,
     jax.jit,
     static_argnames=("sched_meta", "pads", "offset", "inner_shape"))
 def _shadow_metric_core(z_outer, z_org, z_inner, m_slope, u_cells, s_phases,
-                        *, sched_meta, pads, offset, inner_shape):
+                        *, sched_meta, pads, offset, inner_shape,
+                        row_shift=0):
     """Maximum over the sun ray of ``h(s) - (z_org + s * m_slope)``.
 
     ``u_cells`` is the traced horizontal marching direction (2,) in *grid
@@ -734,6 +735,9 @@ def _shadow_metric_core(z_outer, z_org, z_inner, m_slope, u_cells, s_phases,
     pyramid = mip.padded_pyramid(z_outer, num_levels, pads)
     metric = z_inner * 0.0 + _NEG_INIT
     off0, off1 = offset
+    # row_shift: traced extra row offset (sharded execution: each shard's
+    # rows start at tile_index * rows)
+    off0 = off0 + row_shift
     ui = u_cells[0]   # row cells per metre
     uj = u_cells[1]   # column cells per metre
     outer_shape = z_outer.shape

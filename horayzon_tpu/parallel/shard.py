@@ -136,3 +136,44 @@ def horizon_sweep_sharded(mesh, z_outer, *, dx, dy, offset, inner_shape,
     lo = math.radians(elev_ang_low_lim)
     hi = math.radians(elev_ang_up_lim)
     return jnp.clip(hori, lo, hi)
+
+
+def shadow_metric_sharded(mesh, z_outer, z_org, z_inner, m_slope, u_cells,
+                          schedule, offset, inner_shape):
+    """Multi-device shadow occlusion metric (rows sharded over 'tile').
+
+    Same contract as :func:`horayzon_tpu.ops.sweep.shadow_metric`; the sun
+    direction/slope may be traced (per-timestep).  The azim mesh axis, if
+    present, is unused (replicated work)."""
+    n_tile = mesh.shape[_mesh.AXIS_TILE]
+    in0, in1 = inner_shape
+    if in0 % n_tile != 0:
+        raise ValueError(f"inner rows {in0} not divisible by tile axis "
+                         f"{n_tile}")
+    rows = in0 // n_tile
+    s_phases = tuple(
+        jnp.asarray(_sweep._pad_unroll(s[None, :], _sweep.UNROLL)[0])
+        for s in schedule.s_values)
+    sched_meta = schedule.meta()
+    pads = schedule.pads
+
+    def shard_fn(z_rep, z_org_sh, z_inner_sh, m_sh, u_c, phases):
+        row0 = jax.lax.axis_index(_mesh.AXIS_TILE) * rows
+        return _sweep._shadow_metric_core.__wrapped__(
+            z_rep, z_org_sh, z_inner_sh, m_sh, u_c, phases,
+            sched_meta=sched_meta, pads=pads,
+            offset=(int(offset[0]), int(offset[1])),
+            inner_shape=(rows, in1), row_shift=row0)
+
+    fn = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(None, None), P(_mesh.AXIS_TILE, None),
+                  P(_mesh.AXIS_TILE, None), P(_mesh.AXIS_TILE, None),
+                  P(None), jax.tree_util.tree_map(lambda _: P(None, None),
+                                                  s_phases)),
+        out_specs=P(_mesh.AXIS_TILE, None))
+    return jax.jit(fn)(
+        jnp.asarray(z_outer, jnp.float32), jnp.asarray(z_org, jnp.float32),
+        jnp.asarray(z_inner, jnp.float32),
+        jnp.asarray(m_slope, jnp.float32),
+        jnp.asarray(u_cells, jnp.float32), s_phases)

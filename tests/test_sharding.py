@@ -69,3 +69,25 @@ def test_sharded_gradients_flow(terrain):
     assert g.shape == terrain.shape
     assert np.isfinite(g).all()
     assert np.abs(g).max() > 0.0
+
+
+def test_sharded_shadow_matches_single_device(terrain):
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from horayzon_tpu.ops import sweep as _sweep
+
+    dx = 25.0
+    off = (16, 16)
+    inner = (32, 32)
+    z_in = terrain[16:48, 16:48]
+    z_org = z_in + 0.05
+    m = np.full(inner, 0.2, np.float32)
+    u_cells = np.array([0.0, 1.0 / dx], dtype=np.float32)
+    diag = np.hypot(64 * dx, 64 * dx)
+    sched = _sweep.build_schedule(dx, diag, _sweep.default_rel_err(0.25))
+    ref = np.asarray(_sweep.shadow_metric(
+        terrain, z_org, z_in, m, u_cells, sched, off, inner))
+    mesh = pmesh.make_mesh(n_tile=8, n_azim=1)
+    out = np.asarray(pshard.shadow_metric_sharded(
+        mesh, terrain, z_org, z_in, m, u_cells, sched, off, inner))
+    np.testing.assert_allclose(out, ref, atol=1e-5)

@@ -51,3 +51,24 @@ def test_time_sweep_runs():
                                  azim_num=1, samples_per_cell_azim=1,
                                  iters=1)
     assert stats.wall_time_s > 0
+
+
+def test_write_dataset_npz_and_nc_fallback(tmp_path=None):
+    import tempfile
+
+    from horayzon_tpu.utils import output
+
+    hori = np.random.default_rng(0).random((4, 5, 3)).astype(np.float32)
+    azim = np.linspace(0, 2 * np.pi, 3, endpoint=False).astype(np.float32)
+    x = np.arange(5.0)
+    y = np.arange(4.0)[::-1]
+    with tempfile.TemporaryDirectory() as td:
+        p1 = output.write_horizon(os.path.join(td, "h.npz"), hori, azim,
+                                  x=x, y=y)
+        d = np.load(p1)
+        assert d["horizon"].shape == (3, 4, 5)
+        np.testing.assert_allclose(d["azim"], azim)
+        # .nc falls back to .npz without xarray (or writes real NetCDF)
+        p2 = output.write_horizon(os.path.join(td, "h.nc"), hori, azim,
+                                  x=x, y=y)
+        assert os.path.exists(p2)
