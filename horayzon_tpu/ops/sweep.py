@@ -234,12 +234,26 @@ def mark_safe_phases(schedule, halo_cells):
 # Shifted reads
 # ---------------------------------------------------------------------------
 
+#: Bilinear read implementation: "slices" (default) blends four static
+#: slices of the shifted window; "conv" expresses the 2x2 blend as one
+#: convolution pass (experimental — measured pathologically slow through
+#: this environment's TPU compile path).
+READ_IMPL = "slices"
+
+
 def _read_dense(zp, i0, j0, fi, fj, inner_shape):
     """Bilinear read of the level-0 heightfield shifted by a fractional
-    offset: four aligned slices blended on the VPU (replaces per-ray
-    rtcOccluded1 BVH traversal, horizon_comp.cpp:241-262)."""
+    offset (replaces per-ray rtcOccluded1 BVH traversal,
+    horizon_comp.cpp:241-262)."""
     in0, in1 = inner_shape
     win = lax.dynamic_slice(zp, (i0, j0), (in0 + 1, in1 + 1))
+    if READ_IMPL == "conv":
+        w = jnp.stack([(1.0 - fi) * (1.0 - fj), (1.0 - fi) * fj,
+                       fi * (1.0 - fj), fi * fj]).reshape(1, 1, 2, 2)
+        out = lax.conv_general_dilated(
+            win.reshape(1, 1, in0 + 1, in1 + 1), w.astype(win.dtype),
+            window_strides=(1, 1), padding="VALID")
+        return out.reshape(in0, in1)
     top = (1.0 - fj) * win[:-1, :-1] + fj * win[:-1, 1:]
     bot = (1.0 - fj) * win[1:, :-1] + fj * win[1:, 1:]
     return (1.0 - fi) * top + fi * bot

@@ -206,3 +206,32 @@ def test_curved_pipeline_end_to_end():
     assert np.isfinite(out["slope"]).all()
     # The central bump produces positive horizon somewhere
     assert out["hori"].max() > np.deg2rad(1.0)
+
+
+def test_curved_locations():
+    """Per-location horizon on a curved mesh (auto-planarised)."""
+    lat_wall = 45.0 + 0.03
+    wall_h = 600.0
+
+    def elev_fn(lon, lat):
+        e = np.zeros_like(lon)
+        e[np.abs(lat - lat_wall) < 0.002] = wall_h
+        return e
+
+    s = _curved_setup(elev_fn, n=100, dlat=0.002)
+    n = 100
+    vert_grid = auxiliary.rearrange_pad_buffer(s["x"], s["y"], s["z"])
+    i_obs, j_obs = 50, 50
+    coords = np.array([[s["x"][i_obs, j_obs], s["y"][i_obs, j_obs],
+                        s["z"][i_obs, j_obs]]], dtype=np.float32)
+    vn = s["vec_norm"][i_obs:i_obs + 1, j_obs]
+    vno = s["vec_north"][i_obs:i_obs + 1, j_obs]
+    hori, azim = horizon.horizon_locations(
+        vert_grid, n, n, coords, vn, vno, dist_search=8.0, azim_num=8,
+        elev_ang_low_lim=-15.0)
+    # Wall ~3.3 km north, 600 m high -> horizon toward north ~ atan(600/3300)
+    d = 0.03 * 111.1e3
+    expect = np.arctan(wall_h / d)
+    assert abs(hori[0, 0] - expect) < np.deg2rad(1.0)
+    # Other directions flat-ish
+    assert abs(hori[0, 4]) < np.deg2rad(0.5)
