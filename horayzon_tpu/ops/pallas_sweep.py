@@ -67,20 +67,17 @@ def _shifted_window(win_ref, start_i, start_j, rows, cols):
 
 def _kernel(z_org_ref, z_inner_ref, *refs, levels_meta, phases_meta,
             tile, a_chunk, a_num, off0, off1, outer_shape, dx, dy, step,
-            dist):
+            dist, near_exact, n_safe):
     """Pallas kernel body.
 
     refs layout: [lvl_0, ..., lvl_{L-1}] (ANY), out_ref, then scratch:
-    [win_0, ..., win_{L-1}, acc, h_prev, sems].
+    [win_0, ..., win_{L-1}, sems].
     """
     n_levels = len(levels_meta)
     lvl_refs = refs[:n_levels]
     out_ref = refs[n_levels]
     win_refs = refs[n_levels + 1:2 * n_levels + 1]
-    acc_ref = refs[2 * n_levels + 1]
-    hp_ref = refs[2 * n_levels + 2]
-    vp_ref = refs[2 * n_levels + 3]
-    sem = refs[2 * n_levels + 4]
+    sem = refs[2 * n_levels + 1]
 
     t0, t1 = tile
     ti = pl.program_id(0)
@@ -121,28 +118,21 @@ def _kernel(z_org_ref, z_inner_ref, *refs, levels_meta, phases_meta,
             dma.wait()
 
     h, w = outer_shape
-    row_g = (jax.lax.broadcasted_iota(jnp.int32, (t0, t1), 0)
-             + a_base)               # global outer row per cell
-    col_g = (jax.lax.broadcasted_iota(jnp.int32, (t0, t1), 1)
-             + b_base)
-
     z_org = z_org_ref[...]
     z_inner = z_inner_ref[...]
     wpad0 = levels_meta[0][1]
 
     d0_i, d0_j = deltas[0]
 
-    def read0(di, dj, fi, fj):
-        win = _shifted_window(win_refs[0], di + wpad0 + d0_i,
-                              dj + wpad0 + d0_j, t0 + 1, t1 + 1)
-        top = (1.0 - fj) * win[:-1, :-1] + fj * win[:-1, 1:]
-        bot = (1.0 - fj) * win[1:, :-1] + fj * win[1:, 1:]
-        return (1.0 - fi) * top + fi * bot
-
     def inside0(di, dj):
-        ri = row_g + di
-        cj = col_g + dj
+        ri = jax.lax.broadcasted_iota(jnp.int32, (t0, t1), 0) + a_base + di
+        cj = jax.lax.broadcasted_iota(jnp.int32, (t0, t1), 1) + b_base + dj
         return (ri >= 0) & (ri + 1 <= h - 1) & (cj >= 0) & (cj + 1 <= w - 1)
+
+    n_dense = phases_meta[0][1]
+    nx = min(near_exact, n_dense)      # two-read near field
+    ns2 = min(nx, n_safe)              # safe d2 steps
+    ns1 = max(nx, min(n_dense, n_safe))  # end of safe d1 steps
 
     def azim_loop(k_local, _):
         k_glob = ak * a_chunk + k_local
@@ -152,99 +142,162 @@ def _kernel(z_org_ref, z_inner_ref, *refs, levels_meta, phases_meta,
         sh_i = uy / dy   # row cells per metre
         sh_j = ux / dx
 
-        acc_ref[...] = jnp.full((t0, t1), _NEG_INIT, dtype=jnp.float32)
-        hp_ref[...] = z_inner
-        vp_ref[...] = jnp.ones((t0, t1), dtype=jnp.float32)
+        def read0(s):
+            """Bilinear level-0 read at arc distance ``s`` (+ floor shifts)."""
+            dif = s * sh_i
+            djf = s * sh_j
+            di = jnp.floor(dif)
+            dj = jnp.floor(djf)
+            fi = dif - di
+            fj = djf - dj
+            win = _shifted_window(
+                win_refs[0], di.astype(jnp.int32) + wpad0 + d0_i,
+                dj.astype(jnp.int32) + wpad0 + d0_j, t0 + 1, t1 + 1)
+            top = (1.0 - fj) * win[:-1, :-1] + fj * win[:-1, 1:]
+            bot = (1.0 - fj) * win[1:, :-1] + fj * win[1:, 1:]
+            return ((1.0 - fi) * top + fi * bot,
+                    di.astype(jnp.int32), dj.astype(jnp.int32))
 
-        # ---- Phase 0: dense segments with interior quadratic maxima ----
-        n_seg = phases_meta[0][1]
+        def quad_update(acc, a_c, b_c, h0, s_start, length, t_lo, extra):
+            """Max-update with the parabola's interior stationary value.
 
-        def seg_body(m, _):
-            s_end = (m + 1).astype(jnp.float32) * step
-            s_mid = s_end - 0.5 * step
-            s_start = s_end - step
-            dim_f = s_mid * sh_i
-            djm_f = s_mid * sh_j
-            die_f = s_end * sh_i
-            dje_f = s_end * sh_j
-            dim = jnp.floor(dim_f)
-            djm = jnp.floor(djm_f)
-            die = jnp.floor(die_f)
-            dje = jnp.floor(dje_f)
-            hm = read0(dim.astype(jnp.int32), djm.astype(jnp.int32),
-                       dim_f - dim, djm_f - djm)
-            he = read0(die.astype(jnp.int32), dje.astype(jnp.int32),
-                       die_f - die, dje_f - dje)
-            acc = acc_ref[...]
-            acc = jnp.maximum(acc, (he - z_org) / s_end)
-            # interior quadratic max
-            h_prev = hp_ref[...]
-            inv_l = 1.0 / step
-            a_c = (2.0 * he + 2.0 * h_prev - 4.0 * hm) * inv_l * inv_l
-            b_c = (4.0 * hm - 3.0 * h_prev - he) * inv_l
-            a_safe = jnp.where(jnp.abs(a_c) > 1e-12, a_c,
-                               jnp.float32(1e-12))
-            rad = s_start * s_start - (b_c * s_start - h_prev + z_org) \
-                / a_safe
+            Planar identity: at the stationary point of P(t)/(s+t) the
+            ratio equals P'(t*) = 2 a t* + b — division-free."""
+            a_s = jnp.where(jnp.abs(a_c) > 1e-12, a_c, jnp.float32(1e-12))
+            rad = s_start * s_start - (b_c * s_start - h0 + z_org) / a_s
             pos = rad > 0.0
             t_int = -s_start + jnp.sqrt(jnp.where(pos, rad, 1.0))
-            v_mid = inside0(dim.astype(jnp.int32), djm.astype(jnp.int32))
-            v_end = inside0(die.astype(jnp.int32), dje.astype(jnp.int32))
-            # previous-endpoint validity lives in a float scratch ref —
-            # Mosaic cannot carry i1 vectors through scf.for
             valid = ((jnp.abs(a_c) > 1e-12) & pos
-                     & (t_int > 1e-3) & (t_int < step - 1e-3)
-                     & (vp_ref[...] > 0.5) & v_mid & v_end)
-            t_c = jnp.clip(t_int, 0.0, step)
-            h_t = a_c * t_c * t_c + b_c * t_c + h_prev
-            s_t = jnp.maximum(s_start + t_c, _DEN_EPS)
-            acc = jnp.maximum(acc, jnp.where(valid, (h_t - z_org) / s_t,
-                                             _NEG_INIT))
-            acc_ref[...] = acc
-            hp_ref[...] = he
-            vp_ref[...] = jnp.where(v_end, 1.0, 0.0)
-            return 0
+                     & (t_int > t_lo + 1e-3) & (t_int < length - 1e-3))
+            if extra is not None:
+                valid = valid & extra
+            r_int = 2.0 * a_c * t_int + b_c
+            return jnp.maximum(acc, jnp.where(valid, r_int, _NEG_INIT))
 
-        lax.fori_loop(0, n_seg, seg_body, 0)
+        inv_l0 = 1.0 / step
+        inv_l1 = 0.5 / step
+
+        # ---- d2 near field: midpoint + endpoint reads, exact parabola
+        # per one-step window (carries live in loop state, not VMEM refs) --
+        def d2_step(m, acc, h1, masked):
+            s_end = (m + 1).astype(jnp.float32) * step
+            s_start = s_end - step
+            hm, dim, djm = read0(s_end - 0.5 * step)
+            he, die, dje = read0(s_end)
+            acc = jnp.maximum(acc, (he - z_org) * (1.0 / s_end))
+            a_c = (2.0 * he + 2.0 * h1 - 4.0 * hm) * (inv_l0 * inv_l0)
+            b_c = (4.0 * hm - 3.0 * h1 - he) * inv_l0
+            extra = None
+            v_end = None
+            if masked:
+                v_end = inside0(die, dje)
+                extra = inside0(dim, djm) & v_end
+            acc = quad_update(acc, a_c, b_c, h1, s_start, step, 0.0, extra)
+            return acc, he, v_end
+
+        # ---- d1 mid field: one read per step; parabola through the last
+        # three endpoint samples over the trailing interval ----
+        def d1_step(m, acc, h2, h1, masked, v2=None, v1=None):
+            s_end = (m + 1).astype(jnp.float32) * step
+            s_start = s_end - 2.0 * step
+            he, die, dje = read0(s_end)
+            acc = jnp.maximum(acc, (he - z_org) * (1.0 / s_end))
+            a_c = (2.0 * he + 2.0 * h2 - 4.0 * h1) * (inv_l1 * inv_l1)
+            b_c = (4.0 * h1 - 3.0 * h2 - he) * inv_l1
+            extra = None
+            v_end = None
+            if masked:
+                v_end = inside0(die, dje)
+                extra = (v2 > 0.5) & (v1 > 0.5) & v_end
+            acc = quad_update(acc, a_c, b_c, h2, s_start, 2.0 * step,
+                              step, extra)
+            return acc, he, v_end
+
+        neg = z_org * 0.0 + _NEG_INIT
+        ones = z_org * 0.0 + 1.0
+        acc, h2, h1 = neg, z_inner, z_inner
+
+        if ns2 > 0:
+            def b_d2(m, c):
+                acc, h2, h1 = c
+                acc, he, _ = d2_step(m, acc, h1, False)
+                return (acc, h1, he)
+            acc, h2, h1 = lax.fori_loop(0, ns2, b_d2, (acc, h2, h1))
+        v2, v1 = ones, ones
+        if nx > ns2:
+            # unsafe d2 steps: carry endpoint validity as float 0/1
+            # (Mosaic cannot carry i1 vectors through scf.for)
+            def b_d2u(m, c):
+                acc, h2, h1, v2, v1 = c
+                acc, he, v_end = d2_step(m, acc, h1, True)
+                return (acc, h1, he, v1, jnp.where(v_end, 1.0, 0.0))
+            acc, h2, h1, v2, v1 = lax.fori_loop(
+                ns2, nx, b_d2u, (acc, h2, h1, v2, v1))
+        if ns1 > nx:
+            def b_d1(m, c):
+                acc, h2, h1 = c
+                acc, he, _ = d1_step(m, acc, h2, h1, False)
+                return (acc, h1, he)
+            acc, h2, h1 = lax.fori_loop(nx, ns1, b_d1, (acc, h2, h1))
+        if n_dense > ns1:
+            def b_d1u(m, c):
+                acc, h2, h1, v2, v1 = c
+                acc, he, v_end = d1_step(m, acc, h2, h1, True, v2, v1)
+                return (acc, h1, he, v1, jnp.where(v_end, 1.0, 0.0))
+            acc, h2, h1, v2, v1 = lax.fori_loop(
+                ns1, n_dense, b_d1u, (acc, h2, h1, v2, v1))
 
         # ---- Mip phases: conservative point samples ----
+        # Nearest-neighbour upsample of the coarse window to the fine tile:
+        # rows via jnp.repeat (elementwise on the sublane axis) + dynamic
+        # roll; columns via a static one-hot matmul (pltpu.repeat TILES the
+        # array and the lane axis has no elementwise repeat in Mosaic — the
+        # MXU does the spread instead) + dynamic lane roll.  No masks: mip
+        # reads are nearest (no blending), so off-grid samples return the
+        # sentinel and never win the running max.
         for p in range(1, len(phases_meta)):
             lvl, n_m, s_first, step_l = phases_meta[p]
             kpow = 2 ** lvl
             wpad = levels_meta[p][1]
-            sz0 = (t0 + kpow - 2) // kpow + 1
-            sz1 = (t1 + kpow - 2) // kpow + 1
+            sz0 = _round_up(t0 // kpow + 2 + 8, 8)
+            sz1 = _round_up(t1 // kpow + 128 // kpow + 2 + 8, 128)
+            t1_pad = _round_up(t1 + kpow + 1, 128)
+            # one-hot column-upsample operator: S[c, y] = (y // k == c)
+            c_idx = jax.lax.broadcasted_iota(jnp.int32, (sz1, t1_pad), 0)
+            y_idx = jax.lax.broadcasted_iota(jnp.int32, (sz1, t1_pad), 1)
+            s_op = (y_idx // kpow == c_idx).astype(jnp.float32)
+            # static bias keeps div/rem operands positive (floor semantics)
+            bias = kpow * 16384
 
-            def mip_body(m, _, lvl=lvl, kpow=kpow, wpad=wpad, sz0=sz0,
-                         sz1=sz1, s_first=s_first, step_l=step_l, p=p):
+            def mip_body(m, acc, lvl=lvl, kpow=kpow, wpad=wpad, sz0=sz0,
+                         sz1=sz1, t1_pad=t1_pad, s_op=s_op, bias=bias,
+                         s_first=s_first, step_l=step_l, p=p):
                 s = jnp.minimum(s_first + m.astype(jnp.float32) * step_l,
                                 dist)
                 ri = jnp.round(s * sh_i).astype(jnp.int32)
                 rj = jnp.round(s * sh_j).astype(jnp.int32)
                 c0 = a_base + ri
                 c1 = b_base + rj
-                st_i = lax.div(c0, kpow) - lax.div(a_base, kpow) + wpad
-                st_j = lax.div(c1, kpow) - lax.div(b_base, kpow) + wpad
-                al_i = lax.rem(c0, kpow)
-                al_i = jnp.where(al_i < 0, al_i + kpow, al_i)
-                al_j = lax.rem(c1, kpow)
-                al_j = jnp.where(al_j < 0, al_j + kpow, al_j)
+                st_i = lax.div(c0 + bias, kpow) - (bias // kpow) \
+                    - lax.div(a_base, kpow) + wpad
+                st_j = lax.div(c1 + bias, kpow) - (bias // kpow) \
+                    - lax.div(b_base, kpow) + wpad
+                al_i = lax.rem(c0 + bias, kpow)
+                al_j = lax.rem(c1 + bias, kpow)
                 win = _shifted_window(win_refs[p], st_i + deltas[p][0],
                                       st_j + deltas[p][1], sz0, sz1)
-                up = pltpu.repeat(pltpu.repeat(win, kpow, axis=0),
-                                  kpow, axis=1)
-                up = _roll_neg(up, al_i, 0)
-                up = _roll_neg(up, al_j, 1)
-                hs = up[:t0, :t1]
-                acc_ref[...] = jnp.maximum(acc_ref[...],
-                                           (hs - z_org) / s)
-                return 0
+                rows = jnp.repeat(win, kpow, axis=0)     # fine rows x coarse
+                rows = _roll_neg(rows, al_i, 0)[:t0, :]
+                up = jnp.dot(rows, s_op,
+                             preferred_element_type=jnp.float32)
+                hs = _roll_neg(up, al_j, 1)[:, :t1]
+                return jnp.maximum(acc, (hs - z_org) * (1.0 / s))
 
-            lax.fori_loop(0, n_m, mip_body, 0)
+            acc = lax.fori_loop(0, n_m, mip_body, acc)
 
         # atan is applied outside the kernel (no Pallas TPU lowering);
         # the kernel emits the max elevation-angle ratio.
-        out_ref[k_local, :, :] = acc_ref[...]
+        out_ref[k_local, :, :] = acc
         return 0
 
     lax.fori_loop(0, a_chunk, azim_loop, 0)
@@ -278,21 +331,9 @@ def horizon_sweep_pallas(z_outer, *, dx, dy, offset, inner_shape, azim_num,
     if azim_num % a_chunk:
         raise ValueError("azim_num must be divisible by a_chunk")
 
-    # Per-level arrays: low pad = schedule pad + 4 (window DMA start >= 0),
-    # high pads add the aligned-slab roll margins.
-    levels = _mip.build_pyramid(z_outer, schedule.num_levels)
-    pads = schedule.pads
-    padded = []
-    for lvl, z_l in enumerate(levels):
-        lo = pads[lvl] + 4
-        # High-side pads cover the window size round-ups (rows: +16 slab
-        # margin + 8 round-up; cols: +256 slab margin + 128 round-up).
-        padded.append(jnp.pad(
-            z_l, ((lo, pads[lvl] + 48), (lo, pads[lvl] + 648)),
-            constant_values=_mip.PAD_VALUE))
-
-    # Merge the level-0 phases (d2 + d1 in the XLA path) into one dense
-    # phase: this kernel uses midpoint+endpoint reads for every dense step.
+    # Merge the level-0 phases into one dense phase entry; the kernel
+    # re-splits it statically into d2 (near_exact two-read steps) and d1
+    # (one-read steps), and into safe/masked ranges via n_safe.
     levels_meta = []
     phases_meta = []
     n_dense_steps = sum(ph.num for ph in schedule.phases if ph.level == 0)
@@ -307,15 +348,66 @@ def horizon_sweep_pallas(z_outer, *, dx, dy, offset, inner_shape, azim_num,
         lvl = ph.level
         wpad = schedule.pads[lvl] + 2
         k = 2 ** lvl
-        # +8 rows / +128 cols: DMA source-start alignment remainder
-        wsz0 = _round_up(t0 // k + 2 * wpad + 2 + 16 + 8, 8)
-        wsz1 = _round_up(t1 // k + 2 * wpad + 2 + 256 + 128, 128)
+        # +8 rows / +128 cols: DMA source-start alignment remainder; the
+        # further +8/+128 covers the aligned in-kernel read (see mip_body)
+        wsz0 = _round_up(t0 // k + 2 * wpad + 2 + 16 + 8 + 8, 8)
+        wsz1 = _round_up(t1 // k + 2 * wpad + 2 + 256 + 128 + 128, 128)
         levels_meta.append((lvl, wpad, wsz0, wsz1))
         s_vals = schedule.s_values[p]
         step_l = float(s_vals[1] - s_vals[0]) if ph.num > 1 else step * k
         phases_meta.append((lvl, ph.num, float(s_vals[0]), step_l))
 
     off0, off1 = offset
+    # Leading dense steps that provably stay on-grid for every inner cell
+    # (skips the per-step in-domain masks; cf. sweep.mark_safe_phases).
+    h_out, w_out = z_outer.shape
+    halo_cells = min(off0, off1, h_out - off0 - in0, w_out - off1 - in1)
+    n_safe = max(0, halo_cells - 2)
+    near_ex = (schedule.phases[0].num
+               if schedule.phases[0].kind == "d2" else 0)
+
+    return _pallas_core(
+        z_outer,
+        levels_meta=tuple(levels_meta), phases_meta=tuple(phases_meta),
+        pads=schedule.pads, tile=(t0, t1), a_chunk=a_chunk,
+        azim_num=azim_num, offset=(off0, off1), inner_shape=(in0, in1),
+        dx=float(dx), dy=float(dy), step=step, dist=float(dist_search),
+        near_ex=near_ex, n_safe=n_safe,
+        ray_org_elev=float(ray_org_elev),
+        elev_lims=(float(elev_ang_low_lim), float(elev_ang_up_lim)),
+        interpret=interpret)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("levels_meta", "phases_meta", "pads", "tile",
+                     "a_chunk", "azim_num", "offset", "inner_shape", "dx",
+                     "dy", "step", "dist", "near_ex", "n_safe",
+                     "ray_org_elev", "elev_lims", "interpret"))
+def _pallas_core(z_outer, *, levels_meta, phases_meta, pads, tile, a_chunk,
+                 azim_num, offset, inner_shape, dx, dy, step, dist, near_ex,
+                 n_safe, ray_org_elev, elev_lims, interpret):
+    """One fused jit: mip pyramid + padding + the Pallas sweep + arctan.
+
+    Everything runs in a single device dispatch — the pyramid/pad ops would
+    otherwise execute eagerly (one host round-trip each), which dominates
+    wall time on remote-tunnel backends."""
+    t0, t1 = tile
+    in0, in1 = inner_shape
+    off0, off1 = offset
+
+    # Per-level arrays: low pad = schedule pad + 4 (window DMA start >= 0),
+    # high pads add the aligned-slab roll margins (rows: +16 slab margin
+    # + 8 round-up; cols: +256 slab margin + 128 round-up + 128 aligned
+    # in-kernel read margin).
+    levels = _mip.build_pyramid(z_outer, len(pads))
+    padded = []
+    for lvl, z_l in enumerate(levels):
+        lo = pads[lvl] + 4
+        padded.append(jnp.pad(
+            z_l, ((lo, pads[lvl] + 56), (lo, pads[lvl] + 776)),
+            constant_values=_mip.PAD_VALUE))
+
     z_inner = lax.dynamic_slice(z_outer, (off0, off1), (in0, in1))
     z_org = z_inner + jnp.float32(ray_org_elev)
 
@@ -323,25 +415,22 @@ def horizon_sweep_pallas(z_outer, *, dx, dy, offset, inner_shape, azim_num,
 
     kernel = functools.partial(
         _kernel,
-        levels_meta=tuple(levels_meta), phases_meta=tuple(phases_meta),
+        levels_meta=levels_meta, phases_meta=phases_meta,
         tile=(t0, t1), a_chunk=a_chunk, a_num=azim_num,
         off0=off0, off1=off1, outer_shape=tuple(z_outer.shape),
-        dx=float(dx), dy=float(dy), step=step,
-        dist=float(dist_search))
+        dx=dx, dy=dy, step=step, dist=dist,
+        near_exact=near_ex, n_safe=n_safe)
 
     in_specs = [
         pl.BlockSpec((t0, t1), lambda ti, tj, ak: (ti, tj),
                      memory_space=pltpu.VMEM),                     # z_org
         pl.BlockSpec((t0, t1), lambda ti, tj, ak: (ti, tj),
                      memory_space=pltpu.VMEM),                     # z_inner
-    ] + [pl.BlockSpec(memory_space=pltpu.ANY) for _ in levels_meta]
+    ] + [pl.BlockSpec(memory_space=pl.ANY) for _ in levels_meta]
 
     scratch_shapes = (
         [pltpu.VMEM((m[2], m[3]), jnp.float32) for m in levels_meta]
-        + [pltpu.VMEM((t0, t1), jnp.float32),       # acc
-           pltpu.VMEM((t0, t1), jnp.float32),       # h_prev
-           pltpu.VMEM((t0, t1), jnp.float32),       # v_prev (0/1)
-           pltpu.SemaphoreType.DMA((len(levels_meta),))])
+        + [pltpu.SemaphoreType.DMA((len(levels_meta),))])
 
     # Azimuth leads the output layout so the per-azimuth store indexes the
     # (cheap) leading dimension; transpose once at the end.
@@ -357,6 +446,6 @@ def horizon_sweep_pallas(z_outer, *, dx, dy, offset, inner_shape, azim_num,
         interpret=interpret,
     )(z_org, z_inner, *padded)
     out = jnp.clip(jnp.arctan(out),
-                   math.radians(elev_ang_low_lim),
-                   math.radians(elev_ang_up_lim))
+                   math.radians(elev_lims[0]),
+                   math.radians(elev_lims[1]))
     return jnp.moveaxis(out, 0, -1)
