@@ -66,7 +66,7 @@ def main():
 
     import jax
     import jax.numpy as jnp
-    from horayzon_tpu.ops import sweep
+    from horayzon_tpu.ops import sweep, pallas_sweep
 
     in0 = in1 = args.inner
     h = w = args.inner + 2 * args.halo
@@ -75,25 +75,43 @@ def main():
 
     z_dev = jnp.asarray(z)  # upload once
 
-    def run():
+    def run_xla():
         hori, _ = sweep.horizon_sweep(
             z_dev, dx=args.dx, dy=-args.dx, offset=(args.halo, args.halo),
             inner_shape=(in0, in1), azim=azim,
             dist_search=args.dist * 1000.0, hori_acc=args.acc)
         return hori
 
-    # Warm-up / compile.  NOTE: timing forces a device->host scalar readback
-    # per iteration — on remote-tunnel backends block_until_ready alone can
-    # return before execution completes, yielding bogus (too fast) numbers.
-    hori_mean = float(jnp.mean(run()))
+    def run_pallas():
+        return pallas_sweep.horizon_sweep_pallas(
+            z_dev, dx=args.dx, dy=-args.dx, offset=(args.halo, args.halo),
+            inner_shape=(in0, in1), azim_num=args.azim,
+            dist_search=args.dist * 1000.0, hori_acc=args.acc,
+            tile=(128, 256), a_chunk=min(args.azim, 8))
 
-    times = []
-    for _ in range(args.iters):
-        t0 = time.perf_counter()
-        hori = run()
-        hori_mean = float(jnp.mean(hori))
-        times.append(time.perf_counter() - t0)
-    dt = min(times)
+    def time_engine(run):
+        # Warm-up / compile.  NOTE: timing forces a device->host scalar
+        # readback per iteration — on remote-tunnel backends
+        # block_until_ready alone can return before execution completes,
+        # yielding bogus (too fast) numbers.
+        hori_mean = float(jnp.mean(run()))
+        times = []
+        for _ in range(args.iters):
+            t0 = time.perf_counter()
+            hori_mean = float(jnp.mean(run()))
+            times.append(time.perf_counter() - t0)
+        return min(times), hori_mean
+
+    dt_xla, _ = time_engine(run_xla)
+    try:
+        dt_pl, hori_mean = time_engine(run_pallas)
+    except Exception:
+        dt_pl, hori_mean = None, None
+    if dt_pl is not None and dt_pl < dt_xla:
+        dt, engine = dt_pl, "pallas"
+    else:
+        dt, engine = dt_xla, "xla_sweep"
+        hori_mean = time_engine(run_xla)[1]
 
     schedule = sweep.build_schedule(args.dx, args.dist * 1000.0,
                                     sweep.default_rel_err(args.acc))
@@ -115,6 +133,8 @@ def main():
         "samples_per_s": samples_per_s,
         "device": str(jax.devices()[0]),
         "hori_mean_deg": float(np.rad2deg(hori_mean)),
+        "engine": engine,
+        "xla_sweep_wall_time_s": dt_xla,
     }
 
     # Shadow benchmark: one sun position = one ray/cell in the reference

@@ -41,6 +41,31 @@ def azimuth_angles(azim_num):
     return ((2.0 * np.pi) / azim_num * np.arange(azim_num)).astype(np.float32)
 
 
+def _on_tpu():
+    import jax
+    try:
+        dev = jax.devices()[0]
+    except Exception:
+        return False
+    return "tpu" in (getattr(dev, "device_kind", "") or "").lower() \
+        or dev.platform == "tpu"
+
+
+def _pallas_padded_shape(outer_shape, offset, inner_shape):
+    """Inner shape padded up to Pallas tile multiples, or None if the outer
+    grid has no room (padded cells are computed and discarded)."""
+    def up(x, m):
+        return ((x + m - 1) // m) * m
+    in0, in1 = inner_shape
+    t0 = 128 if in0 >= 128 else up(in0, 8)
+    t1 = 256 if in1 >= 256 else up(in1, 128)
+    in0p, in1p = up(in0, t0), up(in1, t1)
+    if (offset[0] + in0p > outer_shape[0]
+            or offset[1] + in1p > outer_shape[1]):
+        return None
+    return (in0p, in1p), (t0, t1)
+
+
 def horizon_gridded(
         vert_grid, dem_dim_0, dem_dim_1,
         vec_norm, vec_north,
@@ -56,17 +81,26 @@ def horizon_gridded(
         mask=None,
         hori_fill=0.0,
         ray_org_elev=0.01,
-        verbose=True):
+        verbose=True,
+        engine="auto"):
     """Horizon computation for a gridded domain (TPU sweep).
 
     Signature and semantics mirror reference horizon.pyx:29-197; rays against
     the DEM are replaced by the shifted-slice sweep (ops/sweep.py).
+
+    ``engine``: "auto" uses the fused Pallas kernel
+    (:mod:`horayzon_tpu.ops.pallas_sweep`) when the domain is planar, the
+    grid regular and a TPU is attached, falling back to the XLA sweep
+    otherwise; "sweep" forces the XLA path; "pallas" forces the kernel
+    (raises if unsupported).
 
     Returns
     -------
     hori : ndarray of float32, shape (in0, in1, azim_num) [radian]
     azim : ndarray of float32, shape (azim_num,) [radian]
     """
+    if engine not in ("auto", "sweep", "pallas"):
+        raise ValueError("engine must be 'auto', 'sweep' or 'pallas'")
     # --- Validation (mirrors horizon.pyx:109-156) -------------------------
     vec_norm = np.asarray(vec_norm, dtype=np.float32)
     vec_north = np.asarray(vec_north, dtype=np.float32)
@@ -117,13 +151,36 @@ def horizon_gridded(
             u_xy = _terrain.mean_marching_directions(azim, vec_norm,
                                                      vec_north)
 
+        pl_shape = None
+        if engine in ("auto", "pallas") and planar:
+            pl_shape = _pallas_padded_shape(
+                z.shape, (offset_0, offset_1), inner_shape)
+        use_pallas = (pl_shape is not None
+                      and (engine == "pallas"
+                           or (engine == "auto" and _on_tpu())))
+        if engine == "pallas" and not use_pallas:
+            raise ValueError("engine='pallas' requires a planar regular "
+                             "grid with room to pad the inner domain to "
+                             "tile multiples")
+
         t0 = time.perf_counter()
-        hori, _ = _sweep.horizon_sweep(
-            z, dx=grid.dx, dy=grid.dy, offset=(offset_0, offset_1),
-            inner_shape=inner_shape, azim=azim,
-            dist_search=dist_search * 1000.0,
-            hori_acc=hori_acc, elev_ang_low_lim=elev_ang_low_lim,
-            ray_org_elev=ray_org_elev, geom=geom, u_xy=u_xy)
+        if use_pallas:
+            from horayzon_tpu.ops import pallas_sweep as _pallas
+            (in0p, in1p), tile = pl_shape
+            hori = _pallas.horizon_sweep_pallas(
+                z, dx=grid.dx, dy=grid.dy, offset=(offset_0, offset_1),
+                inner_shape=(in0p, in1p), azim_num=azim_num,
+                dist_search=dist_search * 1000.0, hori_acc=hori_acc,
+                elev_ang_low_lim=elev_ang_low_lim,
+                ray_org_elev=ray_org_elev, tile=tile)
+            hori = hori[:inner_shape[0], :inner_shape[1]]
+        else:
+            hori, _ = _sweep.horizon_sweep(
+                z, dx=grid.dx, dy=grid.dy, offset=(offset_0, offset_1),
+                inner_shape=inner_shape, azim=azim,
+                dist_search=dist_search * 1000.0,
+                hori_acc=hori_acc, elev_ang_low_lim=elev_ang_low_lim,
+                ray_org_elev=ray_org_elev, geom=geom, u_xy=u_xy)
     if mask.min() == 0:
         m = jnp.asarray(mask[..., None] == 1)
         hori = jnp.where(m, hori, jnp.float32(hori_fill))

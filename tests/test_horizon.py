@@ -147,3 +147,42 @@ def test_horizon_dtype_and_range():
     assert hori.dtype == np.float32
     assert (hori >= np.deg2rad(-15.0) - 1e-6).all()
     assert (hori <= np.deg2rad(89.98) + 1e-6).all()
+
+
+def test_pallas_padded_shape():
+    """Engine-auto padding: inner domain padded to tile multiples only when
+    the outer grid has room; otherwise the XLA sweep is used."""
+    from horayzon_tpu.horizon import _pallas_padded_shape
+    # room to pad: 300x300 inner in a 1000x1000 outer at offset (100, 100)
+    shape, tile = _pallas_padded_shape((1000, 1000), (100, 100), (300, 300))
+    assert shape[0] % tile[0] == 0 and shape[1] % tile[1] == 0
+    assert shape[0] >= 300 and shape[1] >= 300
+    # no room: padding would run past the outer grid
+    assert _pallas_padded_shape((310, 310), (5, 5), (300, 300)) is None
+    # small domains pick small aligned tiles
+    shape, tile = _pallas_padded_shape((400, 400), (64, 64), (60, 60))
+    assert tile[0] <= 64 and tile[1] == 128 and shape == (64, 128)
+
+
+def test_horizon_gridded_engine_sweep_matches_auto_on_cpu():
+    """On CPU the auto engine resolves to the XLA sweep; results identical."""
+    import horayzon_tpu.auxiliary as aux
+    rng = np.random.default_rng(3)
+    n = 40
+    z = rng.normal(scale=30.0, size=(n, n)).astype(np.float32)
+    x = (np.arange(n, dtype=np.float32) * 25.0)[None, :].repeat(n, 0)
+    y = (-np.arange(n, dtype=np.float32) * 25.0)[:, None].repeat(n, 1)
+    vert = aux.rearrange_pad_buffer(x, y, z)
+    in0 = in1 = 16
+    off = 12
+    vec_norm = np.zeros((in0, in1, 3), np.float32)
+    vec_norm[..., 2] = 1.0
+    vec_north = np.zeros((in0, in1, 3), np.float32)
+    vec_north[..., 1] = 1.0
+    h_auto, _ = horizon.horizon_gridded(
+        vert, n, n, vec_norm, vec_north, off, off, dist_search=0.25,
+        azim_num=8, verbose=False)
+    h_sweep, _ = horizon.horizon_gridded(
+        vert, n, n, vec_norm, vec_north, off, off, dist_search=0.25,
+        azim_num=8, verbose=False, engine="sweep")
+    np.testing.assert_array_equal(h_auto, h_sweep)
