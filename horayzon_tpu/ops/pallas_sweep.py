@@ -67,12 +67,24 @@ def _shifted_window(win_ref, start_i, start_j, rows, cols):
 
 def _kernel(z_org_ref, z_inner_ref, *refs, levels_meta, phases_meta,
             tile, a_chunk, a_num, off0, off1, outer_shape, dx, dy, step,
-            dist, near_exact, n_safe):
-    """Pallas kernel body.
+            dist, near_exact, n_safe, mode="horizon", grid_origin=(0.0, 0.0)):
+    """Pallas kernel body (horizon sweep / shadow occlusion metric).
 
-    refs layout: [lvl_0, ..., lvl_{L-1}] (ANY), out_ref, then scratch:
-    [win_0, ..., win_{L-1}, sems].
-    """
+    refs layout: [sun_ref (shadow mode only), lvl_0, ..., lvl_{L-1}] (ANY),
+    out_ref, then scratch: [win_0, ..., win_{L-1}, sems].
+
+    mode="horizon": the third grid axis is an azimuth chunk; the update is
+    the running max of the elevation-angle ratio (he - z_org) / s.
+    mode="shadow": the third grid axis is a sun-position chunk; per sun the
+    kernel computes the per-cell ray slope from the sun coordinates (SMEM
+    table rows: sun_x, sun_y, sun_z, kx_u, ky_u, ui, uj) and the update is
+    the running max of the clearance he - (z_org + s * m_slope) — positive
+    anywhere along the march means the cell is occluded
+    (shadow_comp.cpp:454-467 semantics, tfar = domain diagonal)."""
+    shadow = mode == "shadow"
+    if shadow:
+        sun_ref = refs[0]
+        refs = refs[1:]
     n_levels = len(levels_meta)
     lvl_refs = refs[:n_levels]
     out_ref = refs[n_levels]
@@ -134,13 +146,36 @@ def _kernel(z_org_ref, z_inner_ref, *refs, levels_meta, phases_meta,
     ns2 = min(nx, n_safe)              # safe d2 steps
     ns1 = max(nx, min(n_dense, n_safe))  # end of safe d1 steps
 
+    if shadow:
+        # Per-cell lattice coordinates for the per-sun ray-slope field
+        # (integer iota then cast: Mosaic's iota is integer-only)
+        xr = ((jax.lax.broadcasted_iota(jnp.int32, (t0, t1), 1)
+               + b_base).astype(jnp.float32)) * dx + grid_origin[0]
+        yr = ((jax.lax.broadcasted_iota(jnp.int32, (t0, t1), 0)
+               + a_base).astype(jnp.float32)) * dy + grid_origin[1]
+
     def azim_loop(k_local, _):
-        k_glob = ak * a_chunk + k_local
-        phi = (2.0 * np.pi / a_num) * k_glob.astype(jnp.float32)
-        ux = jnp.sin(phi)
-        uy = jnp.cos(phi)
-        sh_i = uy / dy   # row cells per metre
-        sh_j = ux / dx
+        if shadow:
+            sun_x = sun_ref[k_local, 0]
+            sun_y = sun_ref[k_local, 1]
+            sun_z = sun_ref[k_local, 2]
+            kx_u = sun_ref[k_local, 3]
+            ky_u = sun_ref[k_local, 4]
+            sh_i = sun_ref[k_local, 5]   # row cells per metre
+            sh_j = sun_ref[k_local, 6]
+            sxr = sun_x - xr
+            syr = sun_y - yr
+            szr = sun_z - z_org
+            mag = jnp.sqrt(sxr * sxr + syr * syr + szr * szr)
+            adv = (sxr * kx_u + syr * ky_u) / mag
+            m = (szr / mag) / jnp.maximum(adv, 1.0e-4)
+        else:
+            k_glob = ak * a_chunk + k_local
+            phi = (2.0 * np.pi / a_num) * k_glob.astype(jnp.float32)
+            ux = jnp.sin(phi)
+            uy = jnp.cos(phi)
+            sh_i = uy / dy   # row cells per metre
+            sh_j = ux / dx
 
         def read0(s):
             """Bilinear level-0 read at arc distance ``s`` (+ floor shifts)."""
@@ -161,18 +196,34 @@ def _kernel(z_org_ref, z_inner_ref, *refs, levels_meta, phases_meta,
         def quad_update(acc, a_c, b_c, h0, s_start, length, t_lo, extra):
             """Max-update with the parabola's interior stationary value.
 
-            Planar identity: at the stationary point of P(t)/(s+t) the
-            ratio equals P'(t*) = 2 a t* + b — division-free."""
-            a_s = jnp.where(jnp.abs(a_c) > 1e-12, a_c, jnp.float32(1e-12))
-            rad = s_start * s_start - (b_c * s_start - h0 + z_org) / a_s
-            pos = rad > 0.0
-            t_int = -s_start + jnp.sqrt(jnp.where(pos, rad, 1.0))
-            valid = ((jnp.abs(a_c) > 1e-12) & pos
-                     & (t_int > t_lo + 1e-3) & (t_int < length - 1e-3))
+            Horizon: at the stationary point of P(t)/(s+t) the ratio equals
+            P'(t*) = 2 a t* + b — division-free.  Shadow: the stationary
+            point of P(t) - m t is the vertex t* = (m - b)/(2a) (maximum
+            only for concave segments, a < 0)."""
+            if shadow:
+                a_s = jnp.where(a_c < -1e-12, a_c, jnp.float32(-1e-12))
+                t_int = (m - b_c) / (2.0 * a_s)
+                valid = ((a_c < -1e-12)
+                         & (t_int > t_lo + 1e-3) & (t_int < length - 1e-3))
+                r_int = (a_c * t_int * t_int + b_c * t_int + h0
+                         - z_org - (s_start + t_int) * m)
+            else:
+                a_s = jnp.where(jnp.abs(a_c) > 1e-12, a_c,
+                                jnp.float32(1e-12))
+                rad = s_start * s_start - (b_c * s_start - h0 + z_org) / a_s
+                pos = rad > 0.0
+                t_int = -s_start + jnp.sqrt(jnp.where(pos, rad, 1.0))
+                valid = ((jnp.abs(a_c) > 1e-12) & pos
+                         & (t_int > t_lo + 1e-3) & (t_int < length - 1e-3))
+                r_int = 2.0 * a_c * t_int + b_c
             if extra is not None:
                 valid = valid & extra
-            r_int = 2.0 * a_c * t_int + b_c
             return jnp.maximum(acc, jnp.where(valid, r_int, _NEG_INIT))
+
+        def point_update(acc, he, s_end):
+            if shadow:
+                return jnp.maximum(acc, he - z_org - s_end * m)
+            return jnp.maximum(acc, (he - z_org) * (1.0 / s_end))
 
         inv_l0 = 1.0 / step
         inv_l1 = 0.5 / step
@@ -184,7 +235,7 @@ def _kernel(z_org_ref, z_inner_ref, *refs, levels_meta, phases_meta,
             s_start = s_end - step
             hm, dim, djm = read0(s_end - 0.5 * step)
             he, die, dje = read0(s_end)
-            acc = jnp.maximum(acc, (he - z_org) * (1.0 / s_end))
+            acc = point_update(acc, he, s_end)
             a_c = (2.0 * he + 2.0 * h1 - 4.0 * hm) * (inv_l0 * inv_l0)
             b_c = (4.0 * hm - 3.0 * h1 - he) * inv_l0
             extra = None
@@ -201,7 +252,7 @@ def _kernel(z_org_ref, z_inner_ref, *refs, levels_meta, phases_meta,
             s_end = (m + 1).astype(jnp.float32) * step
             s_start = s_end - 2.0 * step
             he, die, dje = read0(s_end)
-            acc = jnp.maximum(acc, (he - z_org) * (1.0 / s_end))
+            acc = point_update(acc, he, s_end)
             a_c = (2.0 * he + 2.0 * h2 - 4.0 * h1) * (inv_l1 * inv_l1)
             b_c = (4.0 * h1 - 3.0 * h2 - he) * inv_l1
             extra = None
@@ -291,7 +342,7 @@ def _kernel(z_org_ref, z_inner_ref, *refs, levels_meta, phases_meta,
                 up = jnp.dot(rows, s_op,
                              preferred_element_type=jnp.float32)
                 hs = _roll_neg(up, al_j, 1)[:, :t1]
-                return jnp.maximum(acc, (hs - z_org) * (1.0 / s))
+                return point_update(acc, hs, s)
 
             acc = lax.fori_loop(0, n_m, mip_body, acc)
 
@@ -301,6 +352,38 @@ def _kernel(z_org_ref, z_inner_ref, *refs, levels_meta, phases_meta,
         return 0
 
     lax.fori_loop(0, a_chunk, azim_loop, 0)
+
+
+def _build_metas(schedule, t0, t1, step):
+    """Static per-level window metadata and per-phase marching metadata.
+
+    Merges the level-0 phases into one dense phase entry; the kernel
+    re-splits it statically into d2 (near_exact two-read steps) and d1
+    (one-read steps), and into safe/masked ranges via n_safe.
+    """
+    levels_meta = []
+    phases_meta = []
+    n_dense_steps = sum(ph.num for ph in schedule.phases if ph.level == 0)
+    wpad0 = schedule.pads[0] + 2
+    levels_meta.append((0, wpad0,
+                        _round_up(t0 + 2 * wpad0 + 2 + 16 + 8, 8),
+                        _round_up(t1 + 2 * wpad0 + 2 + 256 + 128, 128)))
+    phases_meta.append((0, n_dense_steps, step, step))
+    for p, ph in enumerate(schedule.phases):
+        if ph.level == 0:
+            continue
+        lvl = ph.level
+        wpad = schedule.pads[lvl] + 2
+        k = 2 ** lvl
+        # +8 rows / +128 cols: DMA source-start alignment remainder; the
+        # further +8/+128 covers the aligned in-kernel read (see mip_body)
+        wsz0 = _round_up(t0 // k + 2 * wpad + 2 + 16 + 8 + 8, 8)
+        wsz1 = _round_up(t1 // k + 2 * wpad + 2 + 256 + 128 + 128, 128)
+        levels_meta.append((lvl, wpad, wsz0, wsz1))
+        s_vals = schedule.s_values[p]
+        step_l = float(s_vals[1] - s_vals[0]) if ph.num > 1 else step * k
+        phases_meta.append((lvl, ph.num, float(s_vals[0]), step_l))
+    return levels_meta, phases_meta
 
 
 def horizon_sweep_pallas(z_outer, *, dx, dy, offset, inner_shape, azim_num,
@@ -331,31 +414,7 @@ def horizon_sweep_pallas(z_outer, *, dx, dy, offset, inner_shape, azim_num,
     if azim_num % a_chunk:
         raise ValueError("azim_num must be divisible by a_chunk")
 
-    # Merge the level-0 phases into one dense phase entry; the kernel
-    # re-splits it statically into d2 (near_exact two-read steps) and d1
-    # (one-read steps), and into safe/masked ranges via n_safe.
-    levels_meta = []
-    phases_meta = []
-    n_dense_steps = sum(ph.num for ph in schedule.phases if ph.level == 0)
-    wpad0 = schedule.pads[0] + 2
-    levels_meta.append((0, wpad0,
-                        _round_up(t0 + 2 * wpad0 + 2 + 16 + 8, 8),
-                        _round_up(t1 + 2 * wpad0 + 2 + 256 + 128, 128)))
-    phases_meta.append((0, n_dense_steps, step, step))
-    for p, ph in enumerate(schedule.phases):
-        if ph.level == 0:
-            continue
-        lvl = ph.level
-        wpad = schedule.pads[lvl] + 2
-        k = 2 ** lvl
-        # +8 rows / +128 cols: DMA source-start alignment remainder; the
-        # further +8/+128 covers the aligned in-kernel read (see mip_body)
-        wsz0 = _round_up(t0 // k + 2 * wpad + 2 + 16 + 8 + 8, 8)
-        wsz1 = _round_up(t1 // k + 2 * wpad + 2 + 256 + 128 + 128, 128)
-        levels_meta.append((lvl, wpad, wsz0, wsz1))
-        s_vals = schedule.s_values[p]
-        step_l = float(s_vals[1] - s_vals[0]) if ph.num > 1 else step * k
-        phases_meta.append((lvl, ph.num, float(s_vals[0]), step_l))
+    levels_meta, phases_meta = _build_metas(schedule, t0, t1, step)
 
     off0, off1 = offset
     # Leading dense steps that provably stay on-grid for every inner cell
@@ -449,3 +508,139 @@ def _pallas_core(z_outer, *, levels_meta, phases_meta, pads, tile, a_chunk,
                    math.radians(elev_lims[0]),
                    math.radians(elev_lims[1]))
     return jnp.moveaxis(out, 0, -1)
+
+
+def shadow_sun_table(sun_positions, center, dx, dy):
+    """Host-side per-sun table for :func:`shadow_metric_pallas`.
+
+    Rows: sun_x, sun_y, sun_z, kx_u, ky_u, ui, uj, 0 — the unit horizontal
+    direction toward the sun (from the domain centre, mirroring
+    shadow.py::_sun_step) and the marching shifts in grid cells per metre.
+    Returns (table (T, 8) float32, near_vertical (T,) bool).
+    """
+    sp = np.atleast_2d(np.asarray(sun_positions, dtype=np.float64))
+    kx = sp[:, 0] - center[0]
+    ky = sp[:, 1] - center[1]
+    k_norm = np.hypot(kx, ky)
+    near_vertical = k_norm < 1.0e-6
+    kx_u = np.where(near_vertical, 1.0, kx / np.maximum(k_norm, 1e-6))
+    ky_u = np.where(near_vertical, 0.0, ky / np.maximum(k_norm, 1e-6))
+    table = np.zeros((sp.shape[0], 8), dtype=np.float32)
+    table[:, 0:3] = sp
+    table[:, 3] = kx_u
+    table[:, 4] = ky_u
+    table[:, 5] = ky_u / dy   # ui: row cells per metre
+    table[:, 6] = kx_u / dx   # uj
+    return table, near_vertical
+
+
+def shadow_metric_pallas(z_outer, z_org_r, z_inner_r, sun_table, *,
+                         schedule, offset, inner_shape, dx, dy,
+                         grid_origin, tile=(128, 256), t_chunk=None,
+                         interpret=False):
+    """Batched shadow occlusion metric via the fused Pallas kernel.
+
+    Returns (T, in0, in1) float32: max over the sun ray of
+    ``h(s) - (z_org + s * m_slope)`` (> 0 means terrain-occluded),
+    matching :func:`horayzon_tpu.ops.sweep.shadow_metric` semantics with
+    per-cell ray slopes computed in-kernel from the sun coordinates.
+    """
+    z_outer = jnp.asarray(z_outer, dtype=jnp.float32)
+    sun_table = np.asarray(sun_table, dtype=np.float32)
+    num_sun = sun_table.shape[0]
+    in0, in1 = inner_shape
+    t0, t1 = tile
+    t0 = min(t0, in0)
+    t1 = min(t1, in1)
+    if in0 % t0 or in1 % t1:
+        raise ValueError(f"inner_shape {inner_shape} must be divisible by "
+                         f"tile {(t0, t1)}")
+    if t_chunk is None:
+        t_chunk = min(num_sun, 8)
+    # pad the sun axis to a chunk multiple (extra rows are computed and
+    # discarded)
+    t_pad = ((num_sun + t_chunk - 1) // t_chunk) * t_chunk
+    if t_pad != num_sun:
+        sun_table = np.concatenate(
+            [sun_table, np.repeat(sun_table[-1:], t_pad - num_sun, 0)], 0)
+
+    levels_meta, phases_meta = _build_metas(schedule, t0, t1, schedule.step)
+    off0, off1 = offset
+    h_out, w_out = z_outer.shape
+    halo_cells = min(off0, off1, h_out - off0 - in0, w_out - off1 - in1)
+    near_ex = (schedule.phases[0].num
+               if schedule.phases[0].kind == "d2" else 0)
+
+    out = _shadow_core(
+        z_outer, jnp.asarray(z_org_r, dtype=jnp.float32),
+        jnp.asarray(z_inner_r, dtype=jnp.float32),
+        jnp.asarray(sun_table),
+        levels_meta=tuple(levels_meta), phases_meta=tuple(phases_meta),
+        pads=schedule.pads, tile=(t0, t1), t_chunk=t_chunk,
+        offset=(off0, off1), inner_shape=(in0, in1),
+        dx=float(dx), dy=float(dy), step=float(schedule.step),
+        dist=float(schedule.dist), near_ex=near_ex,
+        n_safe=max(0, halo_cells - 2),
+        grid_origin=(float(grid_origin[0]), float(grid_origin[1])),
+        interpret=interpret)
+    return out[:num_sun]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("levels_meta", "phases_meta", "pads", "tile",
+                     "t_chunk", "offset", "inner_shape", "dx", "dy", "step",
+                     "dist", "near_ex", "n_safe", "grid_origin",
+                     "interpret"))
+def _shadow_core(z_outer, z_org_r, z_inner_r, sun_table, *, levels_meta,
+                 phases_meta, pads, tile, t_chunk, offset, inner_shape, dx,
+                 dy, step, dist, near_ex, n_safe, grid_origin, interpret):
+    """One fused jit: mip pyramid + padding + the Pallas shadow kernel."""
+    t0, t1 = tile
+    in0, in1 = inner_shape
+    off0, off1 = offset
+    num_sun = sun_table.shape[0]
+
+    levels = _mip.build_pyramid(z_outer, len(pads))
+    padded = []
+    for lvl, z_l in enumerate(levels):
+        lo = pads[lvl] + 4
+        padded.append(jnp.pad(
+            z_l, ((lo, pads[lvl] + 56), (lo, pads[lvl] + 776)),
+            constant_values=_mip.PAD_VALUE))
+
+    grid = (in0 // t0, in1 // t1, num_sun // t_chunk)
+
+    kernel = functools.partial(
+        _kernel,
+        levels_meta=levels_meta, phases_meta=phases_meta,
+        tile=(t0, t1), a_chunk=t_chunk, a_num=num_sun,
+        off0=off0, off1=off1, outer_shape=tuple(z_outer.shape),
+        dx=dx, dy=dy, step=step, dist=dist,
+        near_exact=near_ex, n_safe=n_safe, mode="shadow",
+        grid_origin=grid_origin)
+
+    in_specs = [
+        pl.BlockSpec((t0, t1), lambda ti, tj, tk: (ti, tj),
+                     memory_space=pltpu.VMEM),                     # z_org_r
+        pl.BlockSpec((t0, t1), lambda ti, tj, tk: (ti, tj),
+                     memory_space=pltpu.VMEM),                     # z_inner_r
+        pl.BlockSpec((t_chunk, 8), lambda ti, tj, tk: (tk, 0),
+                     memory_space=pltpu.SMEM),                     # sun table
+    ] + [pl.BlockSpec(memory_space=pl.ANY) for _ in levels_meta]
+
+    scratch_shapes = (
+        [pltpu.VMEM((m[2], m[3]), jnp.float32) for m in levels_meta]
+        + [pltpu.SemaphoreType.DMA((len(levels_meta),))])
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((t_chunk, t0, t1),
+                               lambda ti, tj, tk: (tk, ti, tj),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((num_sun, in0, in1), jnp.float32),
+        scratch_shapes=scratch_shapes,
+        interpret=interpret,
+    )(z_org_r, z_inner_r, sun_table, *padded)

@@ -98,6 +98,15 @@ def _sun_step(z_outer, fields, sun_position, *, sched_meta, pads, offset,
             sched_meta=sched_meta, pads=pads, offset=offset,
             inner_shape=comp_shape)
     occluded = jnp.logical_and(metric > 0.0, jnp.logical_not(near_vertical))
+    return _classify_one(fields, sun_position, occluded,
+                         refrac_cor=refrac_cor, mode=mode, ang_max=ang_max,
+                         curved=curved)
+
+
+def _classify_one(fields, sun_position, occluded, *, refrac_cor, mode,
+                  ang_max, curved):
+    """Per-cell illumination classification given the occlusion result
+    (shadow_comp.cpp:449-484 / :561-596)."""
     if curved:
         occluded = occluded[fields["bi"], fields["bj"]]
 
@@ -135,6 +144,18 @@ def _sun_step(z_outer, fields, sun_position, *, sched_meta, pads, offset,
         return jnp.where(mask, out, fields["sw_dir_cor_fill"])
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("refrac_cor", "mode", "ang_max", "curved"))
+def _classify_batch(fields, sun_positions, occluded, *, refrac_cor, mode,
+                    ang_max, curved):
+    """Classification for a (T, 3) sun batch with (T, c0, c1) occlusion."""
+    return jax.vmap(
+        lambda sp, occ: _classify_one(
+            fields, sp, occ, refrac_cor=refrac_cor, mode=mode,
+            ang_max=ang_max, curved=curved))(sun_positions, occluded)
+
+
 class Terrain:
     """Initialise-once / query-many terrain shadow engine.
 
@@ -152,15 +173,18 @@ class Terrain:
                    ang_max=89.0,
                    refrac_cor=False,
                    acc=0.25,
-                   engine="sweep"):
+                   engine="auto"):
         """Load DEM data and build the device-resident terrain state.
 
         Signature mirrors shadow.pyx:27-147 (``acc`` is the TPU-native
         accuracy knob driving the sweep sample density; ``engine`` selects
-        the occlusion kernel: "sweep" = marching sweep, "scan" =
-        log-doubling suffix-max scan, see ops/shadow_scan.py)."""
-        if engine not in ("sweep", "scan"):
-            raise ValueError("engine must be 'sweep' or 'scan'")
+        the occlusion kernel: "sweep" = XLA marching sweep, "scan" =
+        log-doubling suffix-max scan (ops/shadow_scan.py), "pallas" =
+        fused VMEM-resident kernel (ops/pallas_sweep.py), "auto" = pallas
+        on TPU when the lattice has room, else sweep)."""
+        if engine not in ("auto", "sweep", "scan", "pallas"):
+            raise ValueError(
+                "engine must be 'auto', 'sweep', 'scan' or 'pallas'")
         self.engine = engine
         vec_tilt = np.asarray(vec_tilt, dtype=np.float32)
         vec_norm = np.asarray(vec_norm, dtype=np.float32)
@@ -279,6 +303,32 @@ class Terrain:
         cy = 0.5 * (y_axis[0] + y_axis[-1])
         cz = float(np.mean(z_org_r))
 
+        # ---- Pallas engine feasibility: pad the compute lattice's inner
+        # shape to tile multiples (padded cells computed and discarded) ----
+        from horayzon_tpu.horizon import _pallas_padded_shape, _on_tpu
+        pl_shape = _pallas_padded_shape((dem_h, dem_w), comp_offset,
+                                        comp_shape)
+        if self.engine == "auto":
+            self.engine = "pallas" if (pl_shape is not None
+                                       and _on_tpu()) else "sweep"
+        elif self.engine == "pallas" and pl_shape is None:
+            raise ValueError("engine='pallas' needs room to pad the "
+                             "compute lattice to tile multiples")
+        if self.engine == "pallas":
+            (p0, p1), self._pallas_tile = pl_shape
+            e0 = p0 - comp_shape[0]
+            e1 = p1 - comp_shape[1]
+            z_in_r = z_in if not self._curved else z_inner_r
+            self._pallas_zorg = jnp.asarray(
+                np.pad(z_org_r, ((0, e0), (0, e1)), mode="edge"),
+                dtype=jnp.float32)
+            self._pallas_zinner = jnp.asarray(
+                np.pad(np.asarray(z_in_r, dtype=np.float32),
+                       ((0, e0), (0, e1)), mode="edge"))
+            self._pallas_shape = (p0, p1)
+            self._pallas_center = (float(cx), float(cy))
+            self._grid_origin = (float(comp_grid.x0), float(comp_grid.y0))
+
         self._z_outer = jnp.asarray(z_comp, dtype=jnp.float32)
         fields = {
             "x_in": jnp.asarray(x_in),
@@ -328,6 +378,8 @@ class Terrain:
 
     def _run(self, sun_position, mode):
         sun_position = self._check(sun_position)
+        if self.engine == "pallas":
+            return self._run_pallas(sun_position, mode)
         kwargs = dict(sched_meta=self.schedule.meta(),
                       pads=self.schedule.pads,
                       offset=self.offset,
@@ -344,6 +396,29 @@ class Terrain:
         return jax.lax.map(
             lambda sp: step(self._z_outer, self._fields, sp),
             jnp.asarray(sun_position))
+
+    def _run_pallas(self, sun_position, mode, interpret=False):
+        """Batched occlusion via the fused Pallas kernel + classification."""
+        from horayzon_tpu.ops import pallas_sweep as _pallas
+        single = sun_position.ndim == 1
+        sp = np.atleast_2d(sun_position)
+        table, near_vert = _pallas.shadow_sun_table(
+            sp, self._pallas_center, self.grid.dx, self.grid.dy)
+        metric = _pallas.shadow_metric_pallas(
+            self._z_outer, self._pallas_zorg, self._pallas_zinner, table,
+            schedule=self.schedule, offset=self.offset,
+            inner_shape=self._pallas_shape, dx=self.grid.dx,
+            dy=self.grid.dy, grid_origin=self._grid_origin,
+            tile=self._pallas_tile, interpret=interpret)
+        metric = metric[:, :self.comp_shape[0], :self.comp_shape[1]]
+        occluded = jnp.logical_and(
+            metric > 0.0,
+            jnp.logical_not(jnp.asarray(near_vert))[:, None, None])
+        out = _classify_batch(
+            self._fields, jnp.asarray(sp, dtype=jnp.float32), occluded,
+            refrac_cor=self.refrac_cor, mode=mode, ang_max=self.ang_max,
+            curved=self._curved)
+        return out[0] if single else out
 
     # ------------------------------------------------------------------
     def shadow(self, sun_position, shadow_buffer=None):

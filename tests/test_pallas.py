@@ -32,3 +32,78 @@ def test_pallas_validation():
         pallas_sweep.horizon_sweep_pallas(
             z, dx=25.0, dy=-25.0, offset=(16, 16), inner_shape=(30, 30),
             azim_num=4, dist_search=500.0, tile=(16, 16))
+
+
+def test_pallas_mip_phase_matches_xla_interpret():
+    """Far-field mip phases (level >= 1): a spike beyond the dense range
+    must be caught by the coarse-level reads (regression: pltpu.repeat has
+    tile semantics, not elementwise-repeat)."""
+    dist = 6000.0
+    halo = int(dist / 25) + 16
+    inner = 64
+    n = inner + 2 * halo
+    z = np.zeros((n, n), dtype=np.float32)
+    z[halo - 96, halo + 32] = 500.0          # 5.8 km north of cell (136, 32)
+    kw = dict(dx=25.0, dy=-25.0, offset=(halo, halo),
+              inner_shape=(inner, inner), dist_search=dist, hori_acc=0.25)
+    h_pal = pallas_sweep.horizon_sweep_pallas(
+        z, azim_num=4, a_chunk=4, tile=(32, 64), interpret=True, **kw)
+    azim = (2 * np.pi / 4) * np.arange(4)
+    h_ref, _ = sweep.horizon_sweep(z, azim=azim, **kw)
+    d = np.rad2deg(np.abs(np.asarray(h_pal) - np.asarray(h_ref)))
+    assert d.max() < 0.3, f"max diff {d.max():.3f} deg"
+
+
+def test_pallas_shadow_metric_interpret():
+    """Shadow occlusion metric (pallas) vs ops.sweep.shadow_metric."""
+    import jax.numpy as jnp
+
+    z = gaussian_bumps_terrain(128, 128, seed=5, amp=400.0)
+    n = z.shape[0]
+    off = (32, 32)
+    inner = (64, 64)
+    dx, dy = 25.0, -25.0
+    diag = float(np.hypot(n * dx, n * dx))
+    schedule = sweep.build_schedule(dx, diag, sweep.default_rel_err(0.25))
+
+    x0, y0 = 0.0, 0.0
+    cx = x0 + 0.5 * (n - 1) * dx
+    cy = y0 + 0.5 * (n - 1) * dy
+    suns = np.array([[cx + 2.0e5, cy + 1.0e5, 2.0e4],
+                     [cx - 1.5e5, cy - 0.5e5, 1.2e4],
+                     [cx + 0.3e5, cy - 2.0e5, 3.0e4]], dtype=np.float32)
+
+    z_inner = np.asarray(z)[off[0]:off[0] + inner[0],
+                            off[1]:off[1] + inner[1]]
+    z_org = z_inner + 0.05
+
+    table, near_vert = pallas_sweep.shadow_sun_table(suns, (cx, cy), dx, dy)
+    metric_pl = pallas_sweep.shadow_metric_pallas(
+        z, z_org, z_inner, table, schedule=schedule, offset=off,
+        inner_shape=inner, dx=dx, dy=dy, grid_origin=(x0, y0),
+        tile=(32, 64), t_chunk=1, interpret=True)
+    assert not near_vert.any()
+
+    # XLA reference: per-cell slope from the same geometry
+    xr = (x0 + np.arange(off[1], off[1] + inner[1]) * dx)[None, :]
+    yr = (y0 + np.arange(off[0], off[0] + inner[0]) * dy)[:, None]
+    xr = np.broadcast_to(xr, inner).astype(np.float32)
+    yr = np.broadcast_to(yr, inner).astype(np.float32)
+    for t, sun in enumerate(suns):
+        sxr = sun[0] - xr
+        syr = sun[1] - yr
+        szr = sun[2] - z_org
+        mag = np.sqrt(sxr ** 2 + syr ** 2 + szr ** 2)
+        kx, ky = sun[0] - cx, sun[1] - cy
+        k_norm = np.hypot(kx, ky)
+        kx_u, ky_u = kx / k_norm, ky / k_norm
+        adv = (sxr * kx_u + syr * ky_u) / mag
+        m = (szr / mag) / np.maximum(adv, 1e-4)
+        u_cells = np.array([ky_u / dy, kx_u / dx], dtype=np.float32)
+        metric_ref = sweep.shadow_metric(
+            jnp.asarray(z), jnp.asarray(z_org), jnp.asarray(z_inner),
+            jnp.asarray(m), u_cells, schedule, off, inner)
+        occ_pl = np.asarray(metric_pl[t]) > 0.0
+        occ_ref = np.asarray(metric_ref) > 0.0
+        agree = (occ_pl == occ_ref).mean()
+        assert agree > 0.99, f"sun {t}: occlusion agreement {agree:.4f}"
