@@ -138,28 +138,60 @@ def main():
     }
 
     # Shadow benchmark: one sun position = one ray/cell in the reference
-    # (shadow_comp.cpp:386-491); the log-doubling scan engine computes it in
-    # O(log N) whole-grid passes.
-    from horayzon_tpu.ops import shadow_scan
+    # (shadow_comp.cpp:386-491).  A 16-sun track batches through the fused
+    # Pallas kernel (per-tile windows amortised over the batch); the
+    # log-doubling scan engine is the XLA fallback.
     z_org = z_dev[args.halo:args.halo + in0,
                   args.halo:args.halo + in1] + 0.05
-    u_cells = np.array([0.17 / (-args.dx), 0.985 / args.dx],
-                       dtype=np.float32)
     diag = float(np.hypot(h * args.dx, w * args.dx))
+    n_sun = 16
+    cx = 0.5 * (w - 1) * args.dx
+    cy = -0.5 * (h - 1) * args.dx
+    tt = np.linspace(0.15, 2.9, n_sun)
+    suns = np.stack([cx + 3.0e5 * np.cos(tt), cy + 3.0e5 * np.sin(tt),
+                     2.0e4 + 1.0e4 * np.sin(2 * tt)], axis=-1)
+
+    from horayzon_tpu.ops import sweep as _sw
+    sh_schedule = _sw.build_schedule(args.dx, diag,
+                                     _sw.default_rel_err(args.acc))
+    z_inner = z_dev[args.halo:args.halo + in0, args.halo:args.halo + in1]
+    table, _ = pallas_sweep.shadow_sun_table(suns, (cx, cy), args.dx,
+                                             -args.dx)
 
     def run_shadow():
-        return shadow_scan.shadow_scan_metric(
-            z_dev, z_org, jnp.float32(0.2), u_cells, args.dx, diag,
-            (args.halo, args.halo), (in0, in1))
+        return pallas_sweep.shadow_metric_pallas(
+            z_dev, z_org, z_inner, table, schedule=sh_schedule,
+            offset=(args.halo, args.halo), inner_shape=(in0, in1),
+            dx=args.dx, dy=-args.dx, grid_origin=(0.0, 0.0))
 
-    hm = float(jnp.mean(run_shadow()))  # warm-up
-    times_sh = []
-    for _ in range(args.iters):
-        t0 = time.perf_counter()
-        hm = float(jnp.mean(run_shadow()))
-        times_sh.append(time.perf_counter() - t0)
-    dt_sh = min(times_sh)
-    result["shadow_scan_s_per_sun_position"] = dt_sh
+    try:
+        hm = float(jnp.mean(run_shadow()))  # warm-up
+        times_sh = []
+        for _ in range(args.iters):
+            t0 = time.perf_counter()
+            hm = float(jnp.mean(run_shadow()))
+            times_sh.append(time.perf_counter() - t0)
+        dt_sh = min(times_sh) / n_sun
+        result["shadow_engine"] = "pallas"
+    except Exception:
+        from horayzon_tpu.ops import shadow_scan
+        u_cells = np.array([0.17 / (-args.dx), 0.985 / args.dx],
+                           dtype=np.float32)
+
+        def run_scan():
+            return shadow_scan.shadow_scan_metric(
+                z_dev, z_org, jnp.float32(0.2), u_cells, args.dx, diag,
+                (args.halo, args.halo), (in0, in1))
+
+        hm = float(jnp.mean(run_scan()))
+        times_sh = []
+        for _ in range(args.iters):
+            t0 = time.perf_counter()
+            hm = float(jnp.mean(run_scan()))
+            times_sh.append(time.perf_counter() - t0)
+        dt_sh = min(times_sh)
+        result["shadow_engine"] = "scan"
+    result["shadow_s_per_sun_position"] = dt_sh
     result["shadow_rays_per_s"] = cells / dt_sh
 
     if args.cpu_baseline:
