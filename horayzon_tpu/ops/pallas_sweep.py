@@ -89,7 +89,8 @@ def _kernel(z_org_ref, z_inner_ref, *refs, levels_meta, phases_meta,
     lvl_refs = refs[:n_levels]
     out_ref = refs[n_levels]
     win_refs = refs[n_levels + 1:2 * n_levels + 1]
-    sem = refs[2 * n_levels + 1]
+    wmax_ref = refs[2 * n_levels + 1]   # SMEM (n_levels,): window maxima
+    sem = refs[2 * n_levels + 2]
 
     t0, t1 = tile
     ti = pl.program_id(0)
@@ -100,7 +101,10 @@ def _kernel(z_org_ref, z_inner_ref, *refs, levels_meta, phases_meta,
 
     # ---- DMA the per-tile windows (once per tile: first azimuth chunk) ----
     # DMA source starts are rounded down to the (8, 128) tiling; the
-    # remainders are added to every in-window read start below.
+    # remainders are added to every in-window read start below.  Only the
+    # level-0 window is waited for up front; each mip window is waited for
+    # right before its phase's first use, so the coarse-window transfers
+    # overlap the dense-phase compute of the first azimuth/sun.
     deltas = []
     for p, (lvl, wpad, wsz0, wsz1) in enumerate(levels_meta):
         k = 2 ** lvl
@@ -110,28 +114,28 @@ def _kernel(z_org_ref, z_inner_ref, *refs, levels_meta, phases_meta,
         src_j_al = pl.multiple_of((src_j // 128) * 128, 128)
         deltas.append((src_i - src_i_al, src_j - src_j_al))
 
+    def _dma(p):
+        lvl, wpad, wsz0, wsz1 = levels_meta[p]
+        k = 2 ** lvl
+        src_i = (a_base // k) + 2
+        src_j = (b_base // k) + 2
+        src_i_al = pl.multiple_of((src_i // 8) * 8, 8)
+        src_j_al = pl.multiple_of((src_j // 128) * 128, 128)
+        return pltpu.make_async_copy(
+            lvl_refs[p].at[pl.ds(src_i_al, wsz0), pl.ds(src_j_al, wsz1)],
+            win_refs[p],
+            sem.at[p])
+
     @pl.when(ak == 0)
     def _():
-        dmas = []
-        for p, (lvl, wpad, wsz0, wsz1) in enumerate(levels_meta):
-            k = 2 ** lvl
-            src_i = (a_base // k) + 2
-            src_j = (b_base // k) + 2
-            src_i_al = pl.multiple_of((src_i // 8) * 8, 8)
-            src_j_al = pl.multiple_of((src_j // 128) * 128, 128)
-            dma = pltpu.make_async_copy(
-                lvl_refs[p].at[pl.ds(src_i_al, wsz0),
-                               pl.ds(src_j_al, wsz1)],
-                win_refs[p],
-                sem.at[p])
-            dma.start()
-            dmas.append(dma)
-        for dma in dmas:
-            dma.wait()
+        for p in range(len(levels_meta)):
+            _dma(p).start()
+        _dma(0).wait()
 
     h, w = outer_shape
     z_org = z_org_ref[...]
     z_inner = z_inner_ref[...]
+    z_org_min = jnp.min(z_org)
     wpad0 = levels_meta[0][1]
 
     d0_i, d0_j = deltas[0]
@@ -307,9 +311,14 @@ def _kernel(z_org_ref, z_inner_ref, *refs, levels_meta, phases_meta,
         # reads are nearest (no blending), so off-grid samples return the
         # sentinel and never win the running max.
         for p in range(1, len(phases_meta)):
+            @pl.when((ak == 0) & (k_local == 0))
+            def _(p=p):
+                _dma(p).wait()
+                wmax_ref[p] = jnp.max(win_refs[p][...])
             lvl, n_m, s_first, step_l = phases_meta[p]
             kpow = 2 ** lvl
             wpad = levels_meta[p][1]
+            s_last = s_first + (n_m - 1) * step_l
             sz0 = _round_up(t0 // kpow + 2 + 8, 8)
             sz1 = _round_up(t1 // kpow + 128 // kpow + 2 + 8, 128)
             t1_pad = _round_up(t1 + kpow + 1, 128)
@@ -344,7 +353,22 @@ def _kernel(z_org_ref, z_inner_ref, *refs, levels_meta, phases_meta,
                 hs = _roll_neg(up, al_j, 1)[:, :t1]
                 return point_update(acc, hs, s)
 
-            acc = lax.fori_loop(0, n_m, mip_body, acc)
+            # Provably-safe early exit (the TPU analog of the reference's
+            # warm-start ray saving, horizon_comp.cpp:436-496): skip the
+            # phase when even the window's maximum elevation cannot raise
+            # any cell's running value.
+            wmax = wmax_ref[p]
+            if shadow:
+                m_min = jnp.min(m)
+                bound = wmax - z_org_min - jnp.minimum(
+                    s_first * m_min, s_last * m_min)
+                skip = (bound <= 0.0) | (jnp.min(acc) > 0.0)
+            else:
+                bound = (wmax - z_org_min) * (1.0 / s_first)
+                skip = bound <= jnp.min(acc)
+            acc = lax.cond(
+                skip, lambda a: a,
+                lambda a: lax.fori_loop(0, n_m, mip_body, a), acc)
 
         # atan is applied outside the kernel (no Pallas TPU lowering);
         # the kernel emits the max elevation-angle ratio.
@@ -489,7 +513,8 @@ def _pallas_core(z_outer, *, levels_meta, phases_meta, pads, tile, a_chunk,
 
     scratch_shapes = (
         [pltpu.VMEM((m[2], m[3]), jnp.float32) for m in levels_meta]
-        + [pltpu.SemaphoreType.DMA((len(levels_meta),))])
+        + [pltpu.SMEM((len(levels_meta),), jnp.float32),
+           pltpu.SemaphoreType.DMA((len(levels_meta),))])
 
     # Azimuth leads the output layout so the per-azimuth store indexes the
     # (cheap) leading dimension; transpose once at the end.
@@ -631,7 +656,8 @@ def _shadow_core(z_outer, z_org_r, z_inner_r, sun_table, *, levels_meta,
 
     scratch_shapes = (
         [pltpu.VMEM((m[2], m[3]), jnp.float32) for m in levels_meta]
-        + [pltpu.SemaphoreType.DMA((len(levels_meta),))])
+        + [pltpu.SMEM((len(levels_meta),), jnp.float32),
+           pltpu.SemaphoreType.DMA((len(levels_meta),))])
 
     return pl.pallas_call(
         kernel,
