@@ -140,7 +140,8 @@ def horizon_gridded(
         hori = _curved_gridded(x, y, z, vec_norm, vec_north,
                                offset_0, offset_1, azim,
                                dist_search * 1000.0, hori_acc,
-                               elev_ang_low_lim, ray_org_elev)
+                               elev_ang_low_lim, ray_org_elev,
+                               engine=engine)
     else:
         planar = _terrain.is_default_planar_vectors(vec_norm, vec_north)
         if planar:
@@ -197,7 +198,8 @@ def horizon_gridded(
 
 
 def _curved_gridded(x, y, z, vec_norm, vec_north, offset_0, offset_1, azim,
-                    dist_search_m, hori_acc, elev_ang_low_lim, ray_org_elev):
+                    dist_search_m, hori_acc, elev_ang_low_lim, ray_org_elev,
+                    engine="auto"):
     """Curved-mesh gridded horizon: planarise -> general sweep -> sample back.
 
     The reference builds an Embree BVH directly over the irregular ENU
@@ -205,6 +207,12 @@ def _curved_gridded(x, y, z, vec_norm, vec_north, offset_0, offset_1, azim,
     regular lattice at native resolution (:mod:`horayzon_tpu.regrid`), the
     sweep runs in general (per-cell tangent frame) mode, and the horizon is
     bilinearly read back at the original inner-cell positions.
+
+    On TPU the fast path runs the *planar* Pallas kernel with a
+    per-(cell, azimuth) tilt-ramp correction: in ENU the curvature drop is
+    already in the lattice heights, so the local-tangent-frame ratio equals
+    the planar ratio plus ``sin(az)*m_x/m_z + cos(az)*m_y/m_z`` to first
+    order in the normal tilt (error O(tilt^2) <~ 1e-4 rad at 100 km).
     """
     from horayzon_tpu import regrid as _regrid
 
@@ -241,15 +249,37 @@ def _curved_gridded(x, y, z, vec_norm, vec_north, offset_0, offset_1, azim,
     norm_r = norm_r.astype(np.float32)
     north_r = north_r.astype(np.float32)
 
-    geom = _terrain.basis_fields(norm_r, north_r)
-    u_xy = _terrain.mean_marching_directions(azim, norm_r, north_r)
+    pl_shape = None
+    if engine in ("auto", "pallas"):
+        pl_shape = _pallas_padded_shape((hr, wr), (i_lo, j_lo),
+                                        (rin0, rin1))
+    if pl_shape is not None and (engine == "pallas"
+                                 or (engine == "auto" and _on_tpu())):
+        from horayzon_tpu.ops import pallas_sweep as _pallas
+        (p0, p1), tile = pl_shape
+        ramp_a = (norm_r[..., 0] / norm_r[..., 2]).astype(np.float32)
+        ramp_b = (norm_r[..., 1] / norm_r[..., 2]).astype(np.float32)
+        ramp_a = np.pad(ramp_a, ((0, p0 - rin0), (0, p1 - rin1)),
+                        mode="edge")
+        ramp_b = np.pad(ramp_b, ((0, p0 - rin0), (0, p1 - rin1)),
+                        mode="edge")
+        hori_r = _pallas.horizon_sweep_pallas(
+            pg.z, dx=pg.grid.dx, dy=pg.grid.dy, offset=(i_lo, j_lo),
+            inner_shape=(p0, p1), azim_num=len(azim),
+            dist_search=dist_search_m, hori_acc=hori_acc,
+            elev_ang_low_lim=elev_ang_low_lim, ray_org_elev=ray_org_elev,
+            tile=tile, tilt_ramp=(ramp_a, ramp_b))
+        hori_r = np.asarray(hori_r[:rin0, :rin1])
+    else:
+        geom = _terrain.basis_fields(norm_r, north_r)
+        u_xy = _terrain.mean_marching_directions(azim, norm_r, north_r)
 
-    hori_r, _ = _sweep.horizon_sweep(
-        pg.z, dx=pg.grid.dx, dy=pg.grid.dy, offset=(i_lo, j_lo),
-        inner_shape=(rin0, rin1), azim=azim, dist_search=dist_search_m,
-        hori_acc=hori_acc, elev_ang_low_lim=elev_ang_low_lim,
-        ray_org_elev=ray_org_elev, geom=geom, u_xy=u_xy)
-    hori_r = np.asarray(hori_r)
+        hori_r, _ = _sweep.horizon_sweep(
+            pg.z, dx=pg.grid.dx, dy=pg.grid.dy, offset=(i_lo, j_lo),
+            inner_shape=(rin0, rin1), azim=azim, dist_search=dist_search_m,
+            hori_acc=hori_acc, elev_ang_low_lim=elev_ang_low_lim,
+            ray_org_elev=ray_org_elev, geom=geom, u_xy=u_xy)
+        hori_r = np.asarray(hori_r)
 
     # Sample back at the original cell positions
     out = _regrid._bilinear(hori_r.astype(np.float64),

@@ -85,6 +85,17 @@ def _kernel(z_org_ref, z_inner_ref, *refs, levels_meta, phases_meta,
     if shadow:
         sun_ref = refs[0]
         refs = refs[1:]
+    ramp_refs = None
+    if mode == "horizon_tilt":
+        # Curved-Earth fast path: per-(cell, azimuth) ratio offset
+        # sin(az)*A + cos(az)*B with A = m_x/m_z, B = m_y/m_z (the
+        # horizontal components of the per-cell ellipsoid normal).  The
+        # curvature drop itself is already in the planarised lattice
+        # heights, so the offset is all that distinguishes the local
+        # tangent frame from the lattice frame (to first order in the
+        # normal tilt, <= 1e-4 rad over 100 km domains).
+        ramp_refs = refs[:2]
+        refs = refs[2:]
     n_levels = len(levels_meta)
     lvl_refs = refs[:n_levels]
     out_ref = refs[n_levels]
@@ -370,6 +381,8 @@ def _kernel(z_org_ref, z_inner_ref, *refs, levels_meta, phases_meta,
                 skip, lambda a: a,
                 lambda a: lax.fori_loop(0, n_m, mip_body, a), acc)
 
+        if ramp_refs is not None:
+            acc = acc + ux * ramp_refs[0][...] + uy * ramp_refs[1][...]
         # atan is applied outside the kernel (no Pallas TPU lowering);
         # the kernel emits the max elevation-angle ratio.
         out_ref[k_local, :, :] = acc
@@ -414,11 +427,16 @@ def horizon_sweep_pallas(z_outer, *, dx, dy, offset, inner_shape, azim_num,
                          dist_search, hori_acc=0.25, elev_ang_low_lim=-15.0,
                          elev_ang_up_lim=89.98, ray_org_elev=0.01,
                          rel_err=None, max_level=10, tile=(128, 256),
-                         a_chunk=None, interpret=False):
+                         a_chunk=None, tilt_ramp=None, interpret=False):
     """Planar gridded horizon via the fused Pallas kernel.
 
     Same contract as :func:`horayzon_tpu.ops.sweep.horizon_sweep` (planar
     mode, uniform azimuths ``2*pi*k/azim_num``, no distance tracking).
+
+    ``tilt_ramp``: optional pair (A, B) of (in0, in1) arrays adding the
+    per-(cell, azimuth) ratio offset ``sin(az)*A + cos(az)*B`` before the
+    arctan — the curved-Earth local-tangent-frame correction with
+    A = m_x/m_z, B = m_y/m_z of the per-cell ellipsoid normal.
     """
     z_outer = jnp.asarray(z_outer, dtype=jnp.float32)
     step = float(min(abs(dx), abs(dy)))
@@ -449,8 +467,11 @@ def horizon_sweep_pallas(z_outer, *, dx, dy, offset, inner_shape, azim_num,
     near_ex = (schedule.phases[0].num
                if schedule.phases[0].kind == "d2" else 0)
 
+    if tilt_ramp is not None:
+        tilt_ramp = tuple(jnp.asarray(r, dtype=jnp.float32)
+                          for r in tilt_ramp)
     return _pallas_core(
-        z_outer,
+        z_outer, tilt_ramp,
         levels_meta=tuple(levels_meta), phases_meta=tuple(phases_meta),
         pads=schedule.pads, tile=(t0, t1), a_chunk=a_chunk,
         azim_num=azim_num, offset=(off0, off1), inner_shape=(in0, in1),
@@ -467,9 +488,9 @@ def horizon_sweep_pallas(z_outer, *, dx, dy, offset, inner_shape, azim_num,
                      "a_chunk", "azim_num", "offset", "inner_shape", "dx",
                      "dy", "step", "dist", "near_ex", "n_safe",
                      "ray_org_elev", "elev_lims", "interpret"))
-def _pallas_core(z_outer, *, levels_meta, phases_meta, pads, tile, a_chunk,
-                 azim_num, offset, inner_shape, dx, dy, step, dist, near_ex,
-                 n_safe, ray_org_elev, elev_lims, interpret):
+def _pallas_core(z_outer, tilt_ramp, *, levels_meta, phases_meta, pads,
+                 tile, a_chunk, azim_num, offset, inner_shape, dx, dy, step,
+                 dist, near_ex, n_safe, ray_org_elev, elev_lims, interpret):
     """One fused jit: mip pyramid + padding + the Pallas sweep + arctan.
 
     Everything runs in a single device dispatch — the pyramid/pad ops would
@@ -502,14 +523,17 @@ def _pallas_core(z_outer, *, levels_meta, phases_meta, pads, tile, a_chunk,
         tile=(t0, t1), a_chunk=a_chunk, a_num=azim_num,
         off0=off0, off1=off1, outer_shape=tuple(z_outer.shape),
         dx=dx, dy=dy, step=step, dist=dist,
-        near_exact=near_ex, n_safe=n_safe)
+        near_exact=near_ex, n_safe=n_safe,
+        mode="horizon" if tilt_ramp is None else "horizon_tilt")
 
-    in_specs = [
-        pl.BlockSpec((t0, t1), lambda ti, tj, ak: (ti, tj),
-                     memory_space=pltpu.VMEM),                     # z_org
-        pl.BlockSpec((t0, t1), lambda ti, tj, ak: (ti, tj),
-                     memory_space=pltpu.VMEM),                     # z_inner
-    ] + [pl.BlockSpec(memory_space=pl.ANY) for _ in levels_meta]
+    tile_spec = pl.BlockSpec((t0, t1), lambda ti, tj, ak: (ti, tj),
+                             memory_space=pltpu.VMEM)
+    in_specs = [tile_spec, tile_spec]                  # z_org, z_inner
+    ramp_args = ()
+    if tilt_ramp is not None:
+        in_specs += [tile_spec, tile_spec]             # ramp A, B
+        ramp_args = tuple(tilt_ramp)
+    in_specs += [pl.BlockSpec(memory_space=pl.ANY) for _ in levels_meta]
 
     scratch_shapes = (
         [pltpu.VMEM((m[2], m[3]), jnp.float32) for m in levels_meta]
@@ -528,7 +552,7 @@ def _pallas_core(z_outer, *, levels_meta, phases_meta, pads, tile, a_chunk,
         out_shape=jax.ShapeDtypeStruct((azim_num, in0, in1), jnp.float32),
         scratch_shapes=scratch_shapes,
         interpret=interpret,
-    )(z_org, z_inner, *padded)
+    )(z_org, z_inner, *ramp_args, *padded)
     out = jnp.clip(jnp.arctan(out),
                    math.radians(elev_lims[0]),
                    math.radians(elev_lims[1]))

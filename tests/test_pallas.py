@@ -107,3 +107,48 @@ def test_pallas_shadow_metric_interpret():
         occ_ref = np.asarray(metric_ref) > 0.0
         agree = (occ_pl == occ_ref).mean()
         assert agree > 0.99, f"sun {t}: occlusion agreement {agree:.4f}"
+
+
+def test_pallas_tilt_ramp_matches_general_mode():
+    """Curved-Earth fast path: planar kernel + per-(cell, azimuth) tilt
+    ramp vs the XLA general (per-cell tangent frame) mode."""
+    rng = np.random.default_rng(11)
+    n = 128
+    z = gaussian_bumps_terrain(n, n, seed=11, amp=400.0)
+    # synthetic spherical-cap normals: tilt grows linearly from the centre
+    R = 6.371e6
+    dx, dy = 25.0, -25.0
+    xs = (np.arange(n) - n / 2) * dx
+    ys = (np.arange(n) - n / 2) * (-dy)
+    xx, yy = np.meshgrid(xs, ys)
+    norm = np.stack([-xx / R, -yy / R, np.ones_like(xx)], axis=-1)
+    norm /= np.linalg.norm(norm, axis=-1, keepdims=True)
+    north = np.stack([np.zeros_like(xx), np.ones_like(xx),
+                      yy / R], axis=-1)
+    north -= np.sum(north * norm, axis=-1, keepdims=True) * norm
+    north /= np.linalg.norm(north, axis=-1, keepdims=True)
+
+    off = (32, 32)
+    inner = (64, 64)
+    sl = (slice(off[0], off[0] + inner[0]), slice(off[1], off[1] + inner[1]))
+    azim_num = 8
+    azim = (2 * np.pi / azim_num) * np.arange(azim_num)
+
+    import horayzon_tpu.terrain as _terrain
+    geom = _terrain.basis_fields(norm[sl].astype(np.float32),
+                                 north[sl].astype(np.float32))
+    u_xy = _terrain.mean_marching_directions(
+        azim, norm[sl].astype(np.float32), north[sl].astype(np.float32))
+    h_gen, _ = sweep.horizon_sweep(
+        z, dx=dx, dy=dy, offset=off, inner_shape=inner, azim=azim,
+        dist_search=800.0, hori_acc=0.25, geom=geom, u_xy=u_xy)
+
+    ramp_a = (norm[sl][..., 0] / norm[sl][..., 2]).astype(np.float32)
+    ramp_b = (norm[sl][..., 1] / norm[sl][..., 2]).astype(np.float32)
+    h_pal = pallas_sweep.horizon_sweep_pallas(
+        z, dx=dx, dy=dy, offset=off, inner_shape=inner, azim_num=azim_num,
+        dist_search=800.0, hori_acc=0.25, tile=(32, 64),
+        tilt_ramp=(ramp_a, ramp_b), interpret=True)
+
+    d = np.rad2deg(np.abs(np.asarray(h_pal) - np.asarray(h_gen)))
+    assert d.max() < 0.25, f"max diff {d.max():.4f} deg"
