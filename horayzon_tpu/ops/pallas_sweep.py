@@ -54,11 +54,17 @@ def _roll_neg(x, amount, axis):
 
 def _shifted_window(win_ref, start_i, start_j, rows, cols):
     """Read win_ref[start_i:start_i+rows, start_j:start_j+cols] with
-    *dynamic* unaligned starts: aligned slab load + dynamic rolls."""
+    *dynamic* unaligned starts: aligned slab load + dynamic rolls.
+
+    The slab must cover [start, start + rows) with start - aligned_start
+    <= 7 (sublanes) / 127 (lanes), so the margins are exactly 7 and 127;
+    the rounded slab is the roll input, so keeping it one tile smaller
+    (136x640 vs 144x768 for a (129, 513) read) cuts the dominant
+    dynamic-roll cost by ~20%."""
     ia = pl.multiple_of((start_i // 8) * 8, 8)
     ja = pl.multiple_of((start_j // 128) * 128, 128)
-    r = _round_up(rows + 8, 8)
-    c = _round_up(cols + 128, 128)
+    r = _round_up(rows + 7, 8)
+    c = _round_up(cols + 127, 128)
     slab = win_ref[pl.ds(ia, r), pl.ds(ja, c)]
     slab = _roll_neg(slab, start_i - ia, 0)
     slab = _roll_neg(slab, start_j - ja, 1)
@@ -262,10 +268,36 @@ def _kernel(z_org_ref, z_inner_ref, *refs, levels_meta, phases_meta,
             return acc, he, v_end
 
         # ---- d1 mid field: one read per step; parabola through the last
-        # three endpoint samples over the trailing interval ----
-        def d1_step(m, acc, h2, h1, masked, v2=None, v1=None):
+        # three endpoint samples.  Steps are processed in PAIRS: the first
+        # step of a pair only point-samples, the second also runs the
+        # interior (quad) update with t_lo=0 so its window covers both
+        # trailing intervals — identical interval coverage at half the
+        # sqrt/div cost (the quad update is ~1/3 of kernel time otherwise).
+        def d1_pair(m, acc, h1, masked, v1=None):
+            """Two marching steps ending at (m+1)*step and (m+2)*step;
+            h1 = sample at m*step.  Returns (acc, h_a, h_b[, v_a, v_b])."""
+            s_a = (m + 1).astype(jnp.float32) * step
+            s_b = s_a + step
+            h_a, dia, dja = read0(s_a)
+            acc = point_update(acc, h_a, s_a)
+            h_b, dib, djb = read0(s_b)
+            acc = point_update(acc, h_b, s_b)
+            a_c = (2.0 * h_b + 2.0 * h1 - 4.0 * h_a) * (inv_l1 * inv_l1)
+            b_c = (4.0 * h_a - 3.0 * h1 - h_b) * inv_l1
+            extra = None
+            v_a = v_b = None
+            if masked:
+                v_a = inside0(dia, dja)
+                v_b = inside0(dib, djb)
+                extra = (v1 > 0.5) & v_a & v_b
+            acc = quad_update(acc, a_c, b_c, h1, s_b - 2.0 * step,
+                              2.0 * step, 0.0, extra)
+            return acc, h_a, h_b, v_a, v_b
+
+        def d1_single(m, acc, h2, h1, masked, v2=None, v1=None):
+            """Trailing odd step: point sample + quad over the new interval
+            only (t_lo = step), using the carried h2/h1 history."""
             s_end = (m + 1).astype(jnp.float32) * step
-            s_start = s_end - 2.0 * step
             he, die, dje = read0(s_end)
             acc = point_update(acc, he, s_end)
             a_c = (2.0 * he + 2.0 * h2 - 4.0 * h1) * (inv_l1 * inv_l1)
@@ -275,8 +307,8 @@ def _kernel(z_org_ref, z_inner_ref, *refs, levels_meta, phases_meta,
             if masked:
                 v_end = inside0(die, dje)
                 extra = (v2 > 0.5) & (v1 > 0.5) & v_end
-            acc = quad_update(acc, a_c, b_c, h2, s_start, 2.0 * step,
-                              step, extra)
+            acc = quad_update(acc, a_c, b_c, h2, s_end - 2.0 * step,
+                              2.0 * step, step, extra)
             return acc, he, v_end
 
         neg = z_org * 0.0 + _NEG_INIT
@@ -300,18 +332,43 @@ def _kernel(z_org_ref, z_inner_ref, *refs, levels_meta, phases_meta,
             acc, h2, h1, v2, v1 = lax.fori_loop(
                 ns2, nx, b_d2u, (acc, h2, h1, v2, v1))
         if ns1 > nx:
-            def b_d1(m, c):
-                acc, h2, h1 = c
-                acc, he, _ = d1_step(m, acc, h2, h1, False)
-                return (acc, h1, he)
-            acc, h2, h1 = lax.fori_loop(nx, ns1, b_d1, (acc, h2, h1))
+            n_pairs = (ns1 - nx) // 2
+            if n_pairs > 0:
+                def b_d1(i, c):
+                    acc, h1 = c
+                    acc, _, h_b, _, _ = d1_pair(nx + 2 * i, acc, h1, False)
+                    return (acc, h_b)
+                # seed: h1 = sample at nx*step is the previous phase's last
+                # endpoint (carried in h1)
+                acc, h1n = lax.fori_loop(0, n_pairs, b_d1, (acc, h1))
+                # reconstruct h2 for a possible trailing single step
+                if (ns1 - nx) % 2:
+                    s_m1 = jnp.float32((nx + 2 * n_pairs - 1) * step)
+                    h2 = read0(s_m1)[0]
+                h1 = h1n
+            if (ns1 - nx) % 2:
+                m_last = nx + 2 * n_pairs
+                acc, he, _ = d1_single(jnp.int32(m_last), acc, h2, h1, False)
+                h2, h1 = h1, he
         if n_dense > ns1:
-            def b_d1u(m, c):
-                acc, h2, h1, v2, v1 = c
-                acc, he, v_end = d1_step(m, acc, h2, h1, True, v2, v1)
-                return (acc, h1, he, v1, jnp.where(v_end, 1.0, 0.0))
-            acc, h2, h1, v2, v1 = lax.fori_loop(
-                ns1, n_dense, b_d1u, (acc, h2, h1, v2, v1))
+            n_pairs = (n_dense - ns1) // 2
+            if n_pairs > 0:
+                def b_d1u(i, c):
+                    acc, h1, v1 = c
+                    acc, _, h_b, _, v_b = d1_pair(ns1 + 2 * i, acc, h1,
+                                                  True, v1)
+                    return (acc, h_b, jnp.where(v_b, 1.0, 0.0))
+                acc, h1n, v1n = lax.fori_loop(
+                    0, n_pairs, b_d1u, (acc, h1, v1))
+                if (n_dense - ns1) % 2:
+                    s_m1 = jnp.float32((ns1 + 2 * n_pairs - 1) * step)
+                    he, die, dje = read0(s_m1)
+                    h2, v2 = he, jnp.where(inside0(die, dje), 1.0, 0.0)
+                h1, v1 = h1n, v1n
+            if (n_dense - ns1) % 2:
+                m_last = ns1 + 2 * n_pairs
+                acc, he, _ = d1_single(jnp.int32(m_last), acc, h2, h1,
+                                       True, v2, v1)
 
         # ---- Mip phases: conservative point samples ----
         # Nearest-neighbour upsample of the coarse window to the fine tile:
