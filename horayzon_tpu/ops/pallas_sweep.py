@@ -43,6 +43,24 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
+def _pool8(padded, levels_meta):
+    """8x8 max-pooled companion of each padded level array, over-padded so
+    any in-kernel pooled-window DMA slice stays in bounds.  Feeds the
+    directional early-exit bounds (see ``dir_max`` in the kernel)."""
+    pooled = []
+    for p, z_l in enumerate(padded):
+        psz0, psz1 = levels_meta[p][4], levels_meta[p][5]
+        h8 = _round_up(z_l.shape[0], 8)
+        w8 = _round_up(z_l.shape[1], 8)
+        zp = jnp.pad(z_l, ((0, h8 - z_l.shape[0]), (0, w8 - z_l.shape[1])),
+                     constant_values=_mip.PAD_VALUE)
+        pw = lax.reduce_window(zp, jnp.float32(_mip.PAD_VALUE), lax.max,
+                               (8, 8), (8, 8), "VALID")
+        pooled.append(jnp.pad(pw, ((0, psz0 + 8), (0, psz1 + 128)),
+                              constant_values=_mip.PAD_VALUE))
+    return pooled
+
+
 def _roll_neg(x, amount, axis):
     """Roll left by ``amount`` (>= 0): dynamic rolls with *negative* shifts
     mis-rotate on the sublane axis on current Mosaic, so express the left
@@ -76,8 +94,9 @@ def _kernel(z_org_ref, z_inner_ref, *refs, levels_meta, phases_meta,
             dist, near_exact, n_safe, mode="horizon", grid_origin=(0.0, 0.0)):
     """Pallas kernel body (horizon sweep / shadow occlusion metric).
 
-    refs layout: [sun_ref (shadow mode only), lvl_0, ..., lvl_{L-1}] (ANY),
-    out_ref, then scratch: [win_0, ..., win_{L-1}, sems].
+    refs layout: [sun_ref (shadow mode only), lvl_0, ..., lvl_{L-1},
+    pool_0, ..., pool_{L-1}] (ANY), out_ref, then scratch:
+    [win_0, ..., win_{L-1}, pwin_0, ..., pwin_{L-1}, wmax, sems].
 
     mode="horizon": the third grid axis is an azimuth chunk; the update is
     the running max of the elevation-angle ratio (he - z_org) / s.
@@ -104,10 +123,12 @@ def _kernel(z_org_ref, z_inner_ref, *refs, levels_meta, phases_meta,
         refs = refs[2:]
     n_levels = len(levels_meta)
     lvl_refs = refs[:n_levels]
-    out_ref = refs[n_levels]
-    win_refs = refs[n_levels + 1:2 * n_levels + 1]
-    wmax_ref = refs[2 * n_levels + 1]   # SMEM (n_levels,): window maxima
-    sem = refs[2 * n_levels + 2]
+    pool_refs = refs[n_levels:2 * n_levels]
+    out_ref = refs[2 * n_levels]
+    win_refs = refs[2 * n_levels + 1:3 * n_levels + 1]
+    pwin_refs = refs[3 * n_levels + 1:4 * n_levels + 1]
+    wmax_ref = refs[4 * n_levels + 1]   # SMEM (n_levels,): window maxima
+    sem = refs[4 * n_levels + 2]
 
     t0, t1 = tile
     ti = pl.program_id(0)
@@ -123,17 +144,25 @@ def _kernel(z_org_ref, z_inner_ref, *refs, levels_meta, phases_meta,
     # right before its phase's first use, so the coarse-window transfers
     # overlap the dense-phase compute of the first azimuth/sun.
     deltas = []
-    for p, (lvl, wpad, wsz0, wsz1) in enumerate(levels_meta):
+    pstarts = []
+    for p, (lvl, wpad, wsz0, wsz1, psz0, psz1) in enumerate(levels_meta):
         k = 2 ** lvl
         src_i = (a_base // k) + 2              # low-pad = pads[lvl] + 4
         src_j = (b_base // k) + 2
         src_i_al = pl.multiple_of((src_i // 8) * 8, 8)
         src_j_al = pl.multiple_of((src_j // 128) * 128, 128)
         deltas.append((src_i - src_i_al, src_j - src_j_al))
+        # Pooled (8x8 max) companion window: pooled-array index pp covers
+        # padded-level rows [8*pp, 8*pp + 8); align the DMA start down.
+        ppi = src_i_al // 8
+        ppj = src_j_al // 8
+        ppi_al = pl.multiple_of((ppi // 8) * 8, 8)
+        ppj_al = pl.multiple_of((ppj // 128) * 128, 128)
+        pstarts.append((ppi_al, ppj_al))
 
     def _dma(p):
-        lvl, wpad, wsz0, wsz1 = levels_meta[p]
-        k = 2 ** lvl
+        wsz0, wsz1 = levels_meta[p][2], levels_meta[p][3]
+        k = 2 ** levels_meta[p][0]
         src_i = (a_base // k) + 2
         src_j = (b_base // k) + 2
         src_i_al = pl.multiple_of((src_i // 8) * 8, 8)
@@ -143,11 +172,24 @@ def _kernel(z_org_ref, z_inner_ref, *refs, levels_meta, phases_meta,
             win_refs[p],
             sem.at[p])
 
+    n_lv = len(levels_meta)
+
+    def _dma_pool(p):
+        psz0, psz1 = levels_meta[p][4], levels_meta[p][5]
+        return pltpu.make_async_copy(
+            pool_refs[p].at[pl.ds(pstarts[p][0], psz0),
+                            pl.ds(pstarts[p][1], psz1)],
+            pwin_refs[p],
+            sem.at[n_lv + p])
+
     @pl.when(ak == 0)
     def _():
         for p in range(len(levels_meta)):
             _dma(p).start()
+            _dma_pool(p).start()
         _dma(0).wait()
+        for p in range(len(levels_meta)):
+            _dma_pool(p).wait()
 
     h, w = outer_shape
     z_org = z_org_ref[...]
@@ -249,6 +291,55 @@ def _kernel(z_org_ref, z_inner_ref, *refs, levels_meta, phases_meta,
         inv_l0 = 1.0 / step
         inv_l1 = 0.5 / step
 
+        def dir_max(p, sA, sB):
+            """Directional terrain bound: max of the 8x8-pooled level-p
+            window over the hexagonal strip the tile's rays sample for arc
+            distances s in [sA, sB] along the current azimuth — the TPU
+            analog of the reference's warm-start ray saving
+            (horizon_comp.cpp:436-496), but per (tile, azimuth, segment).
+
+            Conservative: pooled blocks are dilated by sigma coarse cells
+            (block half-extent 4 + read/bilinear smear) in every
+            constraint, so every cell any ray in the segment can touch is
+            inside the mask."""
+            lvl, wpad = levels_meta[p][0], levels_meta[p][1]
+            psz0, psz1 = levels_meta[p][4], levels_meta[p][5]
+            kpow = 2 ** lvl
+            ci = sh_i / kpow            # coarse cells per metre
+            cj = sh_j / kpow
+            T0f = float(t0) / kpow
+            T1f = float(t1) / kpow
+            sigma = 8.0
+            a_div = lax.div(a_base, kpow).astype(jnp.float32)
+            b_div = lax.div(b_base, kpow).astype(jnp.float32)
+            # pooled-window cell (pi, pj) -> block-centre offset (coarse
+            # cells) from the tile origin: padded-level row 8*(ppal + pi)
+            # + 3.5, minus the level's low pad (wpad + 2), minus the tile
+            # origin a_base // k.
+            base_i = (8.0 * pstarts[p][0].astype(jnp.float32) + 3.5
+                      - (wpad + 2) - a_div)
+            base_j = (8.0 * pstarts[p][1].astype(jnp.float32) + 3.5
+                      - (wpad + 2) - b_div)
+            # integer iota then cast (Mosaic's iota is integer-only)
+            oi = base_i + 8.0 * jax.lax.broadcasted_iota(
+                jnp.int32, (psz0, psz1), 0).astype(jnp.float32)
+            oj = base_j + 8.0 * jax.lax.broadcasted_iota(
+                jnp.int32, (psz0, psz1), 1).astype(jnp.float32)
+            si_lo = jnp.minimum(sA * ci, sB * ci)
+            si_hi = jnp.maximum(sA * ci, sB * ci)
+            sj_lo = jnp.minimum(sA * cj, sB * cj)
+            sj_hi = jnp.maximum(sA * cj, sB * cj)
+            m_ij = ((oi >= si_lo - sigma) & (oi <= T0f + si_hi + sigma)
+                    & (oj >= sj_lo - sigma) & (oj <= T1f + sj_hi + sigma))
+            cr = oi * cj - oj * ci
+            cslack = sigma * (jnp.abs(ci) + jnp.abs(cj))
+            cr_lo = (jnp.minimum(0.0, T0f * cj)
+                     + jnp.minimum(0.0, -T1f * ci) - cslack)
+            cr_hi = (jnp.maximum(0.0, T0f * cj)
+                     + jnp.maximum(0.0, -T1f * ci) + cslack)
+            mask = m_ij & (cr >= cr_lo) & (cr <= cr_hi)
+            return jnp.max(jnp.where(mask, pwin_refs[p][...], _NEG_INIT))
+
         # ---- d2 near field: midpoint + endpoint reads, exact parabola
         # per one-step window (carries live in loop state, not VMEM refs) --
         def d2_step(m, acc, h1, masked):
@@ -340,7 +431,36 @@ def _kernel(z_org_ref, z_inner_ref, *refs, levels_meta, phases_meta,
                     return (acc, h_b)
                 # seed: h1 = sample at nx*step is the previous phase's last
                 # endpoint (carried in h1)
-                acc, h1n = lax.fori_loop(0, n_pairs, b_d1, (acc, h1))
+                if (not shadow) and ns1 == n_dense and (ns1 - nx) % 2 == 0 \
+                        and n_pairs >= 8:
+                    # Chunk the safe d1 range; skip far chunks whose
+                    # directional terrain bound cannot raise any cell.  A
+                    # skipped chunk re-reads its last sample so the next
+                    # chunk's parabola history stays correct.
+                    n_chunks = 4
+                    bnds = [round(n_pairs * g / n_chunks)
+                            for g in range(n_chunks + 1)]
+                    c = (acc, h1)
+                    for g in range(n_chunks):
+                        b0, b1 = bnds[g], bnds[g + 1]
+                        if b1 <= b0:
+                            continue
+                        def run_g(c, b0=b0, b1=b1):
+                            return lax.fori_loop(b0, b1, b_d1, c)
+                        if g == 0:
+                            c = run_g(c)
+                            continue
+                        sA = (nx + 2 * b0 + 1) * step
+                        sB = (nx + 2 * b1) * step
+                        def skip_g(c, sB=sB):
+                            return (c[0], read0(jnp.float32(sB))[0])
+                        bound = (dir_max(0, sA, sB) - z_org_min) \
+                            * (1.0 / sA)
+                        c = lax.cond(bound <= jnp.min(c[0]), skip_g,
+                                     run_g, c)
+                    acc, h1n = c
+                else:
+                    acc, h1n = lax.fori_loop(0, n_pairs, b_d1, (acc, h1))
                 # reconstruct h2 for a possible trailing single step
                 if (ns1 - nx) % 2:
                     s_m1 = jnp.float32((nx + 2 * n_pairs - 1) * step)
@@ -382,7 +502,8 @@ def _kernel(z_org_ref, z_inner_ref, *refs, levels_meta, phases_meta,
             @pl.when((ak == 0) & (k_local == 0))
             def _(p=p):
                 _dma(p).wait()
-                wmax_ref[p] = jnp.max(win_refs[p][...])
+                if shadow:
+                    wmax_ref[p] = jnp.max(win_refs[p][...])
             lvl, n_m, s_first, step_l = phases_meta[p]
             kpow = 2 ** lvl
             wpad = levels_meta[p][1]
@@ -421,18 +542,20 @@ def _kernel(z_org_ref, z_inner_ref, *refs, levels_meta, phases_meta,
                 hs = _roll_neg(up, al_j, 1)[:, :t1]
                 return point_update(acc, hs, s)
 
-            # Provably-safe early exit (the TPU analog of the reference's
-            # warm-start ray saving, horizon_comp.cpp:436-496): skip the
-            # phase when even the window's maximum elevation cannot raise
-            # any cell's running value.
-            wmax = wmax_ref[p]
+            # Provably-safe early exit: skip the phase when no terrain the
+            # segment can sample is able to raise any cell's running value.
+            # Horizon modes use the directional (strip-masked) pooled bound;
+            # shadow keeps the whole-window bound (the per-cell ray slope
+            # field makes the directional algebra different).
             if shadow:
+                wmax = wmax_ref[p]
                 m_min = jnp.min(m)
                 bound = wmax - z_org_min - jnp.minimum(
                     s_first * m_min, s_last * m_min)
                 skip = (bound <= 0.0) | (jnp.min(acc) > 0.0)
             else:
-                bound = (wmax - z_org_min) * (1.0 / s_first)
+                dmax = dir_max(p, s_first, s_last)
+                bound = (dmax - z_org_min) * (1.0 / s_first)
                 skip = bound <= jnp.min(acc)
             acc = lax.cond(
                 skip, lambda a: a,
@@ -455,13 +578,19 @@ def _build_metas(schedule, t0, t1, step):
     re-splits it statically into d2 (near_exact two-read steps) and d1
     (one-read steps), and into safe/masked ranges via n_safe.
     """
+    def _pool_sizes(wsz0, wsz1):
+        # 8x8-pooled companion window: window span in pooled blocks plus
+        # the DMA start-alignment remainders (<= 7 rows / 127 lanes).
+        return (_round_up(wsz0 // 8 + 1 + 7, 8),
+                _round_up(wsz1 // 8 + 1 + 127, 128))
+
     levels_meta = []
     phases_meta = []
     n_dense_steps = sum(ph.num for ph in schedule.phases if ph.level == 0)
     wpad0 = schedule.pads[0] + 2
-    levels_meta.append((0, wpad0,
-                        _round_up(t0 + 2 * wpad0 + 2 + 16 + 8, 8),
-                        _round_up(t1 + 2 * wpad0 + 2 + 256 + 128, 128)))
+    wsz = (_round_up(t0 + 2 * wpad0 + 2 + 16 + 8, 8),
+           _round_up(t1 + 2 * wpad0 + 2 + 256 + 128, 128))
+    levels_meta.append((0, wpad0) + wsz + _pool_sizes(*wsz))
     phases_meta.append((0, n_dense_steps, step, step))
     for p, ph in enumerate(schedule.phases):
         if ph.level == 0:
@@ -471,9 +600,9 @@ def _build_metas(schedule, t0, t1, step):
         k = 2 ** lvl
         # +8 rows / +128 cols: DMA source-start alignment remainder; the
         # further +8/+128 covers the aligned in-kernel read (see mip_body)
-        wsz0 = _round_up(t0 // k + 2 * wpad + 2 + 16 + 8 + 8, 8)
-        wsz1 = _round_up(t1 // k + 2 * wpad + 2 + 256 + 128 + 128, 128)
-        levels_meta.append((lvl, wpad, wsz0, wsz1))
+        wsz = (_round_up(t0 // k + 2 * wpad + 2 + 16 + 8 + 8, 8),
+               _round_up(t1 // k + 2 * wpad + 2 + 256 + 128 + 128, 128))
+        levels_meta.append((lvl, wpad) + wsz + _pool_sizes(*wsz))
         s_vals = schedule.s_values[p]
         step_l = float(s_vals[1] - s_vals[0]) if ph.num > 1 else step * k
         phases_meta.append((lvl, ph.num, float(s_vals[0]), step_l))
@@ -568,6 +697,7 @@ def _pallas_core(z_outer, tilt_ramp, *, levels_meta, phases_meta, pads,
         padded.append(jnp.pad(
             z_l, ((lo, pads[lvl] + 56), (lo, pads[lvl] + 776)),
             constant_values=_mip.PAD_VALUE))
+    pooled = _pool8(padded, levels_meta)
 
     z_inner = lax.dynamic_slice(z_outer, (off0, off1), (in0, in1))
     z_org = z_inner + jnp.float32(ray_org_elev)
@@ -590,12 +720,14 @@ def _pallas_core(z_outer, tilt_ramp, *, levels_meta, phases_meta, pads,
     if tilt_ramp is not None:
         in_specs += [tile_spec, tile_spec]             # ramp A, B
         ramp_args = tuple(tilt_ramp)
-    in_specs += [pl.BlockSpec(memory_space=pl.ANY) for _ in levels_meta]
+    in_specs += [pl.BlockSpec(memory_space=pl.ANY)
+                 for _ in range(2 * len(levels_meta))]
 
     scratch_shapes = (
         [pltpu.VMEM((m[2], m[3]), jnp.float32) for m in levels_meta]
+        + [pltpu.VMEM((m[4], m[5]), jnp.float32) for m in levels_meta]
         + [pltpu.SMEM((len(levels_meta),), jnp.float32),
-           pltpu.SemaphoreType.DMA((len(levels_meta),))])
+           pltpu.SemaphoreType.DMA((2 * len(levels_meta),))])
 
     # Azimuth leads the output layout so the per-azimuth store indexes the
     # (cheap) leading dimension; transpose once at the end.
@@ -609,7 +741,7 @@ def _pallas_core(z_outer, tilt_ramp, *, levels_meta, phases_meta, pads,
         out_shape=jax.ShapeDtypeStruct((azim_num, in0, in1), jnp.float32),
         scratch_shapes=scratch_shapes,
         interpret=interpret,
-    )(z_org, z_inner, *ramp_args, *padded)
+    )(z_org, z_inner, *ramp_args, *padded, *pooled)
     out = jnp.clip(jnp.arctan(out),
                    math.radians(elev_lims[0]),
                    math.radians(elev_lims[1]))
@@ -714,6 +846,7 @@ def _shadow_core(z_outer, z_org_r, z_inner_r, sun_table, *, levels_meta,
         padded.append(jnp.pad(
             z_l, ((lo, pads[lvl] + 56), (lo, pads[lvl] + 776)),
             constant_values=_mip.PAD_VALUE))
+    pooled = _pool8(padded, levels_meta)
 
     grid = (in0 // t0, in1 // t1, num_sun // t_chunk)
 
@@ -733,12 +866,14 @@ def _shadow_core(z_outer, z_org_r, z_inner_r, sun_table, *, levels_meta,
                      memory_space=pltpu.VMEM),                     # z_inner_r
         pl.BlockSpec((t_chunk, 8), lambda ti, tj, tk: (tk, 0),
                      memory_space=pltpu.SMEM),                     # sun table
-    ] + [pl.BlockSpec(memory_space=pl.ANY) for _ in levels_meta]
+    ] + [pl.BlockSpec(memory_space=pl.ANY)
+         for _ in range(2 * len(levels_meta))]
 
     scratch_shapes = (
         [pltpu.VMEM((m[2], m[3]), jnp.float32) for m in levels_meta]
+        + [pltpu.VMEM((m[4], m[5]), jnp.float32) for m in levels_meta]
         + [pltpu.SMEM((len(levels_meta),), jnp.float32),
-           pltpu.SemaphoreType.DMA((len(levels_meta),))])
+           pltpu.SemaphoreType.DMA((2 * len(levels_meta),))])
 
     return pl.pallas_call(
         kernel,
@@ -750,4 +885,4 @@ def _shadow_core(z_outer, z_org_r, z_inner_r, sun_table, *, levels_meta,
         out_shape=jax.ShapeDtypeStruct((num_sun, in0, in1), jnp.float32),
         scratch_shapes=scratch_shapes,
         interpret=interpret,
-    )(z_org_r, z_inner_r, sun_table, *padded)
+    )(z_org_r, z_inner_r, sun_table, *padded, *pooled)
