@@ -87,7 +87,7 @@ def main():
             z_dev, dx=args.dx, dy=-args.dx, offset=(args.halo, args.halo),
             inner_shape=(in0, in1), azim_num=args.azim,
             dist_search=args.dist * 1000.0, hori_acc=args.acc,
-            tile=(128, 512), a_chunk=min(args.azim, 8))
+            tile=(128, 512))
 
     def time_engine(run):
         # Warm-up / compile.  NOTE: timing forces a device->host scalar

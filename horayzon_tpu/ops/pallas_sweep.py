@@ -638,7 +638,12 @@ def horizon_sweep_pallas(z_outer, *, dx, dy, offset, inner_shape, azim_num,
         raise ValueError(f"inner_shape {inner_shape} must be divisible by "
                          f"tile {(t0, t1)}")
     if a_chunk is None:
-        a_chunk = min(azim_num, 16)
+        # Budget the VMEM output block (a_chunk, t0, t1) at ~1 MiB: the real
+        # chip's 16 MiB scoped-vmem limit is otherwise exceeded at t1=512
+        # (window slabs + roll scratch take the rest).
+        a_chunk = min(azim_num, max(1, (1 << 20) // (t0 * t1 * 4)))
+        while azim_num % a_chunk:
+            a_chunk -= 1
     if azim_num % a_chunk:
         raise ValueError("azim_num must be divisible by a_chunk")
 
