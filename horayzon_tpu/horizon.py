@@ -24,6 +24,7 @@ Differences from the reference (documented behaviour):
 """
 
 import time
+import warnings
 
 import numpy as np
 import jax.numpy as jnp
@@ -169,17 +170,29 @@ def horizon_gridded(
             raise ValueError("engine='pallas' requires a planar regular "
                              "grid with room to pad the inner domain to "
                              "tile multiples")
+        if engine == "auto" and planar and pl_shape is None and _on_tpu():
+            warnings.warn(
+                "horizon_gridded: outer grid has no room to pad the inner "
+                "domain to Pallas tile multiples — falling back to the "
+                "slower XLA sweep.  Widen the outer DEM (offsets) to "
+                "enable the fused kernel.", RuntimeWarning, stacklevel=2)
 
         t0 = time.perf_counter()
         if use_pallas:
             from horayzon_tpu.ops import pallas_sweep as _pallas
             (in0p, in1p), tile = pl_shape
+            # Mask-driven work skipping: tiles with no unmasked cell never
+            # run (reference horizon_comp.cpp:749 skips masked cells).
+            mask_pad = None
+            if mask.min() == 0:
+                mask_pad = np.zeros((in0p, in1p), dtype=np.uint8)
+                mask_pad[:inner_shape[0], :inner_shape[1]] = mask
             hori = _pallas.horizon_sweep_pallas(
                 z, dx=grid.dx, dy=grid.dy, offset=(offset_0, offset_1),
                 inner_shape=(in0p, in1p), azim_num=azim_num,
                 dist_search=dist_search * 1000.0, hori_acc=hori_acc,
                 elev_ang_low_lim=elev_ang_low_lim,
-                ray_org_elev=ray_org_elev, tile=tile)
+                ray_org_elev=ray_org_elev, tile=tile, mask=mask_pad)
             hori = hori[:inner_shape[0], :inner_shape[1]]
         else:
             hori, _ = _sweep.horizon_sweep(
@@ -194,12 +207,14 @@ def horizon_gridded(
     hori = np.asarray(hori)
     if verbose:
         n_cells = int((mask == 1).sum())
+        n_tot = mask.size
         dt = time.perf_counter() - t0
         print(f"Horizon sweep: {inner_shape[0]}x{inner_shape[1]} cells, "
               f"{azim_num} azimuths, {dt:.3f} s "
               f"(incl. compile on first call)")
+        # considered-fraction printout mirrors horizon_comp.cpp:685-695
         print(f"Number of grid cells for which horizon is computed: "
-              f"{n_cells}")
+              f"{n_cells} ({100.0 * n_cells / n_tot:.2f} % of the domain)")
     return hori, azim
 
 

@@ -22,6 +22,7 @@ Planar geometry only (the general per-cell-basis mode falls back to the XLA
 path).  Numerically identical to ops.sweep up to float32 associativity.
 """
 
+import collections
 import functools
 import math
 
@@ -89,10 +90,23 @@ def _shifted_window(win_ref, start_i, start_j, rows, cols):
     return slab[:rows, :cols]
 
 
-def _kernel(z_org_ref, z_inner_ref, *refs, levels_meta, phases_meta,
-            tile, a_chunk, a_num, off0, off1, outer_shape, dx, dy, step,
-            dist, near_exact, n_safe, mode="horizon", grid_origin=(0.0, 0.0)):
+def _kernel(tmap_ref, soff_ref, z_org_ref, z_inner_ref, *refs, levels_meta,
+            phases_meta, tile, a_chunk, a_num, off0, off1, outer_shape, dx,
+            dy, step, dist, near_exact, n_safe, mode="horizon",
+            grid_origin=(0.0, 0.0)):
     """Pallas kernel body (horizon sweep / shadow occlusion metric).
+
+    The grid is 2-D: (tile slot, azimuth/sun chunk).  Scalar-prefetch
+    arguments map grid slots to work:
+
+    * ``tmap_ref`` (n_tiles, 2) int32 — tile coordinates per slot.  A
+      compacted list implements the reference's mask-driven cell skipping
+      at tile granularity (horizon_comp.cpp:685-695,749): fully masked
+      tiles have no slot, so no DMA and no sweep runs for them.
+    * ``soff_ref`` (4,) int32 — (row0, col0, azim0, unused) shard offsets:
+      under ``shard_map`` each shard passes its global row / azimuth start
+      so in-kernel geometry stays global while block indices stay local
+      (the TBB row-range analog, horizon_comp.cpp:739-800).
 
     refs layout: [sun_ref (shadow mode only), lvl_0, ..., lvl_{L-1},
     pool_0, ..., pool_{L-1}] (ANY), out_ref, then scratch:
@@ -132,10 +146,10 @@ def _kernel(z_org_ref, z_inner_ref, *refs, levels_meta, phases_meta,
 
     t0, t1 = tile
     ti = pl.program_id(0)
-    tj = pl.program_id(1)
-    ak = pl.program_id(2)
-    a_base = off0 + ti * t0          # global outer row of tile cell (0, .)
-    b_base = off1 + tj * t1
+    ak = pl.program_id(1)
+    # global outer row/col of tile cell (0, 0)
+    a_base = off0 + soff_ref[0] + tmap_ref[ti, 0] * t0
+    b_base = off1 + soff_ref[1] + tmap_ref[ti, 1] * t1
 
     # ---- DMA the per-tile windows (once per tile: first azimuth chunk) ----
     # DMA source starts are rounded down to the (8, 128) tiling; the
@@ -233,7 +247,7 @@ def _kernel(z_org_ref, z_inner_ref, *refs, levels_meta, phases_meta,
             adv = (sxr * kx_u + syr * ky_u) / mag
             m = (szr / mag) / jnp.maximum(adv, 1.0e-4)
         else:
-            k_glob = ak * a_chunk + k_local
+            k_glob = soff_ref[2] + ak * a_chunk + k_local
             phi = (2.0 * np.pi / a_num) * k_glob.astype(jnp.float32)
             ux = jnp.sin(phi)
             uy = jnp.cos(phi)
@@ -609,22 +623,44 @@ def _build_metas(schedule, t0, t1, step):
     return levels_meta, phases_meta
 
 
-def horizon_sweep_pallas(z_outer, *, dx, dy, offset, inner_shape, azim_num,
-                         dist_search, hori_acc=0.25, elev_ang_low_lim=-15.0,
-                         elev_ang_up_lim=89.98, ray_org_elev=0.01,
-                         rel_err=None, max_level=10, tile=(128, 256),
-                         a_chunk=None, tilt_ramp=None, interpret=False):
-    """Planar gridded horizon via the fused Pallas kernel.
+def default_a_chunk(azim_num, t0, t1):
+    """Azimuths per grid step: budget the VMEM output block (a_chunk, t0,
+    t1) at ~1 MiB — the real chip's 16 MiB scoped-vmem limit is otherwise
+    exceeded at t1=512 (window slabs + roll scratch take the rest)."""
+    a_chunk = min(azim_num, max(1, (1 << 20) // (t0 * t1 * 4)))
+    while azim_num % a_chunk:
+        a_chunk -= 1
+    return a_chunk
 
-    Same contract as :func:`horayzon_tpu.ops.sweep.horizon_sweep` (planar
-    mode, uniform azimuths ``2*pi*k/azim_num``, no distance tracking).
 
-    ``tilt_ramp``: optional pair (A, B) of (in0, in1) arrays adding the
-    per-(cell, azimuth) ratio offset ``sin(az)*A + cos(az)*B`` before the
-    arctan — the curved-Earth local-tangent-frame correction with
-    A = m_x/m_z, B = m_y/m_z of the per-cell ellipsoid normal.
-    """
-    z_outer = jnp.asarray(z_outer, dtype=jnp.float32)
+def tile_schedule(inner_shape, tile, mask=None):
+    """(n_tiles, 2) int32 tile coordinates; with ``mask`` (uint8/bool,
+    inner_shape), tiles whose cells are all masked out are dropped — the
+    tile-level analog of the reference's per-cell mask skip
+    (horizon_comp.cpp:749)."""
+    in0, in1 = inner_shape
+    t0, t1 = tile
+    nti, ntj = in0 // t0, in1 // t1
+    coords = np.stack(np.meshgrid(np.arange(nti, dtype=np.int32),
+                                  np.arange(ntj, dtype=np.int32),
+                                  indexing="ij"), axis=-1).reshape(-1, 2)
+    if mask is not None:
+        mask = np.asarray(mask)
+        if mask.shape != (in0, in1):
+            raise ValueError(f"mask shape {mask.shape} != inner_shape "
+                             f"{(in0, in1)}")
+        active = (mask.reshape(nti, t0, ntj, t1) != 0).any(axis=(1, 3))
+        coords = coords[active.reshape(-1)]
+    return np.ascontiguousarray(coords, dtype=np.int32)
+
+
+def plan_sweep(outer_shape, *, inner_shape, offset, tile, azim_num,
+               dist_search, dx, dy, hori_acc=0.25, rel_err=None,
+               max_level=10, a_chunk=None):
+    """Static planning shared by the single-device and sharded entries.
+
+    Returns a dict of the static kernel parameters (window metadata, phase
+    schedule, tile/chunk sizes, safe-march counts)."""
     step = float(min(abs(dx), abs(dy)))
     if rel_err is None:
         rel_err = _sweep.default_rel_err(hori_acc)
@@ -638,55 +674,93 @@ def horizon_sweep_pallas(z_outer, *, dx, dy, offset, inner_shape, azim_num,
         raise ValueError(f"inner_shape {inner_shape} must be divisible by "
                          f"tile {(t0, t1)}")
     if a_chunk is None:
-        # Budget the VMEM output block (a_chunk, t0, t1) at ~1 MiB: the real
-        # chip's 16 MiB scoped-vmem limit is otherwise exceeded at t1=512
-        # (window slabs + roll scratch take the rest).
-        a_chunk = min(azim_num, max(1, (1 << 20) // (t0 * t1 * 4)))
-        while azim_num % a_chunk:
-            a_chunk -= 1
+        a_chunk = default_a_chunk(azim_num, t0, t1)
     if azim_num % a_chunk:
         raise ValueError("azim_num must be divisible by a_chunk")
-
     levels_meta, phases_meta = _build_metas(schedule, t0, t1, step)
-
     off0, off1 = offset
     # Leading dense steps that provably stay on-grid for every inner cell
     # (skips the per-step in-domain masks; cf. sweep.mark_safe_phases).
-    h_out, w_out = z_outer.shape
+    h_out, w_out = outer_shape
     halo_cells = min(off0, off1, h_out - off0 - in0, w_out - off1 - in1)
-    n_safe = max(0, halo_cells - 2)
     near_ex = (schedule.phases[0].num
                if schedule.phases[0].kind == "d2" else 0)
+    return dict(
+        levels_meta=tuple(levels_meta), phases_meta=tuple(phases_meta),
+        pads=schedule.pads, tile=(t0, t1), a_chunk=a_chunk,
+        offset=(int(off0), int(off1)), inner_shape=(in0, in1),
+        dx=float(dx), dy=float(dy), step=step, dist=float(dist_search),
+        near_ex=near_ex, n_safe=max(0, halo_cells - 2),
+        rel_err=float(rel_err), max_level=int(max_level))
 
+
+def horizon_sweep_pallas(z_outer, *, dx, dy, offset, inner_shape, azim_num,
+                         dist_search, hori_acc=0.25, elev_ang_low_lim=-15.0,
+                         elev_ang_up_lim=89.98, ray_org_elev=0.01,
+                         rel_err=None, max_level=10, tile=(128, 256),
+                         a_chunk=None, tilt_ramp=None, mask=None,
+                         interpret=False):
+    """Planar gridded horizon via the fused Pallas kernel.
+
+    Same contract as :func:`horayzon_tpu.ops.sweep.horizon_sweep` (planar
+    mode, uniform azimuths ``2*pi*k/azim_num``, no distance tracking).
+    Differentiable w.r.t. ``z_outer`` and ``tilt_ramp`` via a custom VJP
+    that recomputes through the XLA sweep (SURVEY.md section 7 step 8).
+
+    ``tilt_ramp``: optional pair (A, B) of (in0, in1) arrays adding the
+    per-(cell, azimuth) ratio offset ``sin(az)*A + cos(az)*B`` before the
+    arctan — the curved-Earth local-tangent-frame correction with
+    A = m_x/m_z, B = m_y/m_z of the per-cell ellipsoid normal.
+
+    ``mask``: optional (in0, in1) uint8/bool array.  Tiles with no selected
+    cell are skipped entirely (no DMA, no sweep) — their output cells hold
+    **unspecified values**; callers apply their fill value, as
+    :func:`horayzon_tpu.horizon.horizon_gridded` does.
+    """
+    z_outer = jnp.asarray(z_outer, dtype=jnp.float32)
+    plan = plan_sweep(
+        z_outer.shape, inner_shape=inner_shape, offset=offset, tile=tile,
+        azim_num=azim_num, dist_search=dist_search, dx=dx, dy=dy,
+        hori_acc=hori_acc, rel_err=rel_err, max_level=max_level,
+        a_chunk=a_chunk)
+    tmap = tile_schedule(plan["inner_shape"], plan["tile"], mask)
+    lo = math.radians(float(elev_ang_low_lim))
+    in0, in1 = plan["inner_shape"]
+    if tmap.shape[0] == 0:
+        return jnp.full((in0, in1, azim_num), jnp.float32(lo))
     if tilt_ramp is not None:
         tilt_ramp = tuple(jnp.asarray(r, dtype=jnp.float32)
                           for r in tilt_ramp)
-    return _pallas_core(
-        z_outer, tilt_ramp,
-        levels_meta=tuple(levels_meta), phases_meta=tuple(phases_meta),
-        pads=schedule.pads, tile=(t0, t1), a_chunk=a_chunk,
-        azim_num=azim_num, offset=(off0, off1), inner_shape=(in0, in1),
-        dx=float(dx), dy=float(dy), step=step, dist=float(dist_search),
-        near_ex=near_ex, n_safe=n_safe,
+    cfg = _HzCfg(
+        outer_shape=tuple(z_outer.shape), azim_num=int(azim_num),
         ray_org_elev=float(ray_org_elev),
         elev_lims=(float(elev_ang_low_lim), float(elev_ang_up_lim)),
-        interpret=interpret)
+        tile_map=tuple(map(tuple, tmap.tolist())),
+        interpret=bool(interpret),
+        **{k: plan[k] for k in ("levels_meta", "phases_meta", "pads",
+                                "tile", "a_chunk", "offset", "inner_shape",
+                                "dx", "dy", "step", "dist", "near_ex",
+                                "n_safe", "rel_err", "max_level")})
+    return _pallas_hz(cfg, z_outer, tilt_ramp)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("levels_meta", "phases_meta", "pads", "tile",
-                     "a_chunk", "azim_num", "offset", "inner_shape", "dx",
-                     "dy", "step", "dist", "near_ex", "n_safe",
-                     "ray_org_elev", "elev_lims", "interpret"))
-def _pallas_core(z_outer, tilt_ramp, *, levels_meta, phases_meta, pads,
-                 tile, a_chunk, azim_num, offset, inner_shape, dx, dy, step,
-                 dist, near_ex, n_safe, ray_org_elev, elev_lims, interpret):
-    """One fused jit: mip pyramid + padding + the Pallas sweep + arctan.
+def pallas_forward_fn(z_outer, tilt_ramp, tile_map, shard_off, *,
+                      levels_meta, phases_meta, pads, tile, a_chunk, a_num,
+                      n_az_out, offset, inner_shape, dx, dy, step, dist,
+                      near_ex, n_safe, ray_org_elev, elev_lims, interpret):
+    """Unjitted fused forward: mip pyramid + padding + Pallas sweep + arctan.
 
-    Everything runs in a single device dispatch — the pyramid/pad ops would
-    otherwise execute eagerly (one host round-trip each), which dominates
-    wall time on remote-tunnel backends."""
+    Safe to embed in ``shard_map`` (the jitted single-device entry is
+    :data:`_pallas_core`).  ``tile_map`` (n_tiles, 2) int32 selects which
+    inner tiles run; ``shard_off`` (4,) int32 = (row0, col0, azim0, 0)
+    shifts the in-kernel geometry for sharded execution.  ``a_num`` is the
+    *global* azimuth count (sets the angle of azimuth index k);
+    ``n_az_out`` the local number of azimuths computed here.
+
+    Returns (n_az_out, in0, in1) float32 [radian] — azimuth leads so the
+    per-azimuth store indexes the cheap leading dimension; callers
+    transpose once at the end.
+    """
     t0, t1 = tile
     in0, in1 = inner_shape
     off0, off1 = offset
@@ -704,22 +778,25 @@ def _pallas_core(z_outer, tilt_ramp, *, levels_meta, phases_meta, pads,
             constant_values=_mip.PAD_VALUE))
     pooled = _pool8(padded, levels_meta)
 
-    z_inner = lax.dynamic_slice(z_outer, (off0, off1), (in0, in1))
+    z_inner = lax.dynamic_slice(
+        z_outer, (off0 + shard_off[0], off1 + shard_off[1]), (in0, in1))
     z_org = z_inner + jnp.float32(ray_org_elev)
 
-    grid = (in0 // t0, in1 // t1, azim_num // a_chunk)
+    n_tiles = tile_map.shape[0]
+    grid = (n_tiles, n_az_out // a_chunk)
 
     kernel = functools.partial(
         _kernel,
         levels_meta=levels_meta, phases_meta=phases_meta,
-        tile=(t0, t1), a_chunk=a_chunk, a_num=azim_num,
+        tile=(t0, t1), a_chunk=a_chunk, a_num=a_num,
         off0=off0, off1=off1, outer_shape=tuple(z_outer.shape),
         dx=dx, dy=dy, step=step, dist=dist,
         near_exact=near_ex, n_safe=n_safe,
         mode="horizon" if tilt_ramp is None else "horizon_tilt")
 
-    tile_spec = pl.BlockSpec((t0, t1), lambda ti, tj, ak: (ti, tj),
-                             memory_space=pltpu.VMEM)
+    tile_spec = pl.BlockSpec(
+        (t0, t1), lambda ti, ak, tm, so: (tm[ti, 0], tm[ti, 1]),
+        memory_space=pltpu.VMEM)
     in_specs = [tile_spec, tile_spec]                  # z_org, z_inner
     ramp_args = ()
     if tilt_ramp is not None:
@@ -734,23 +811,119 @@ def _pallas_core(z_outer, tilt_ramp, *, levels_meta, phases_meta, pads,
         + [pltpu.SMEM((len(levels_meta),), jnp.float32),
            pltpu.SemaphoreType.DMA((2 * len(levels_meta),))])
 
-    # Azimuth leads the output layout so the per-azimuth store indexes the
-    # (cheap) leading dimension; transpose once at the end.
-    out = pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((a_chunk, t0, t1),
-                               lambda ti, tj, ak: (ak, ti, tj),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((azim_num, in0, in1), jnp.float32),
-        scratch_shapes=scratch_shapes,
+        out_specs=pl.BlockSpec(
+            (a_chunk, t0, t1),
+            lambda ti, ak, tm, so: (ak, tm[ti, 0], tm[ti, 1]),
+            memory_space=pltpu.VMEM),
+        scratch_shapes=scratch_shapes)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_az_out, in0, in1), jnp.float32),
         interpret=interpret,
-    )(z_org, z_inner, *ramp_args, *padded, *pooled)
-    out = jnp.clip(jnp.arctan(out),
-                   math.radians(elev_lims[0]),
-                   math.radians(elev_lims[1]))
+    )(tile_map, shard_off, z_org, z_inner, *ramp_args, *padded, *pooled)
+    return jnp.clip(jnp.arctan(out),
+                    math.radians(elev_lims[0]),
+                    math.radians(elev_lims[1]))
+
+
+#: Jitted entry for :func:`pallas_forward_fn`.
+_pallas_core = functools.partial(
+    jax.jit,
+    static_argnames=("levels_meta", "phases_meta", "pads", "tile",
+                     "a_chunk", "a_num", "n_az_out", "offset",
+                     "inner_shape", "dx", "dy", "step", "dist", "near_ex",
+                     "n_safe", "ray_org_elev", "elev_lims", "interpret"))(
+    pallas_forward_fn)
+
+
+#: Hashable static config of one Pallas horizon invocation (drives the
+#: custom-VJP entry; ``tile_map`` is static so the backward pass needs no
+#: integer cotangents).
+_HzCfg = collections.namedtuple("_HzCfg", [
+    "levels_meta", "phases_meta", "pads", "tile", "a_chunk", "azim_num",
+    "offset", "inner_shape", "outer_shape", "dx", "dy", "step", "dist",
+    "near_ex", "n_safe", "ray_org_elev", "elev_lims", "rel_err",
+    "max_level", "tile_map", "interpret"])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _pallas_hz(cfg, z_outer, tilt_ramp):
+    """Differentiable fused-kernel horizon: Pallas forward, XLA-sweep
+    backward (recompute-based custom VJP — the fused kernel's running
+    maxima are cheap to re-derive through :func:`ops.sweep.horizon_core_fn`
+    whose VJP XLA generates; SURVEY.md section 7 step 8)."""
+    return _hz_fwd_value(cfg, z_outer, tilt_ramp)
+
+
+def _hz_fwd_value(cfg, z_outer, tilt_ramp):
+    tmap = jnp.asarray(np.asarray(cfg.tile_map, dtype=np.int32)
+                       .reshape(-1, 2))
+    soff = jnp.zeros((4,), dtype=jnp.int32)
+    out = _pallas_core(
+        z_outer, tilt_ramp, tmap, soff,
+        levels_meta=cfg.levels_meta, phases_meta=cfg.phases_meta,
+        pads=cfg.pads, tile=cfg.tile, a_chunk=cfg.a_chunk,
+        a_num=cfg.azim_num, n_az_out=cfg.azim_num, offset=cfg.offset,
+        inner_shape=cfg.inner_shape, dx=cfg.dx, dy=cfg.dy, step=cfg.step,
+        dist=cfg.dist, near_ex=cfg.near_ex, n_safe=cfg.n_safe,
+        ray_org_elev=cfg.ray_org_elev, elev_lims=cfg.elev_lims,
+        interpret=cfg.interpret)
     return jnp.moveaxis(out, 0, -1)
+
+
+def _hz_xla_equiv(cfg, z_outer, tilt_ramp):
+    """XLA-sweep reproduction of the Pallas forward (same schedule knobs),
+    used to generate the backward pass.  Adds the tilt-ramp terms to the
+    raw ratio before the arctan, exactly as the kernel does."""
+    schedule = _sweep.build_schedule(cfg.step, cfg.dist, cfg.rel_err,
+                                     max_level=cfg.max_level)
+    in0, in1 = cfg.inner_shape
+    off0, off1 = cfg.offset
+    h_out, w_out = cfg.outer_shape
+    halo = min(off0, off1, h_out - off0 - in0, w_out - off1 - in1)
+    schedule = _sweep.mark_safe_phases(schedule, halo)
+    azim = (2.0 * np.pi / cfg.azim_num) * np.arange(cfg.azim_num)
+    tables_np = _sweep.horizon_shift_tables(schedule, azim, cfg.dx, cfg.dy,
+                                            cfg.offset)
+    tables = jax.tree_util.tree_map(jnp.asarray, tables_np)
+    trig = {
+        "sin": jnp.asarray(np.sin(azim), dtype=jnp.float32),
+        "cos": jnp.asarray(np.cos(azim), dtype=jnp.float32),
+        "ux": jnp.asarray(np.sin(azim), dtype=jnp.float32),
+        "uy": jnp.asarray(np.cos(azim), dtype=jnp.float32),
+    }
+    z_inner = lax.dynamic_slice(z_outer, (off0, off1), (in0, in1))
+    z_org = z_inner + jnp.float32(cfg.ray_org_elev)
+    ratio, _ = _sweep.horizon_core_fn(
+        z_outer, z_org, z_inner, None, tables, trig,
+        sched_meta=schedule.meta(), pads=schedule.pads,
+        inner_shape=cfg.inner_shape, planar=True, track_dist=False,
+        apply_arctan=False)
+    if tilt_ramp is not None:
+        ratio = (ratio + trig["sin"] * tilt_ramp[0][..., None]
+                 + trig["cos"] * tilt_ramp[1][..., None])
+    return jnp.clip(jnp.arctan(ratio),
+                    math.radians(cfg.elev_lims[0]),
+                    math.radians(cfg.elev_lims[1]))
+
+
+def _hz_fwd(cfg, z_outer, tilt_ramp):
+    return _hz_fwd_value(cfg, z_outer, tilt_ramp), (z_outer, tilt_ramp)
+
+
+def _hz_bwd(cfg, residuals, g):
+    z_outer, tilt_ramp = residuals
+    _, vjp = jax.vjp(lambda z, r: _hz_xla_equiv(cfg, z, r),
+                     z_outer, tilt_ramp)
+    return vjp(g)
+
+
+_pallas_hz.defvjp(_hz_fwd, _hz_bwd)
 
 
 def shadow_sun_table(sun_positions, center, dx, dy):
@@ -780,13 +953,17 @@ def shadow_sun_table(sun_positions, center, dx, dy):
 def shadow_metric_pallas(z_outer, z_org_r, z_inner_r, sun_table, *,
                          schedule, offset, inner_shape, dx, dy,
                          grid_origin, tile=(128, 256), t_chunk=None,
-                         interpret=False):
+                         mask=None, interpret=False):
     """Batched shadow occlusion metric via the fused Pallas kernel.
 
     Returns (T, in0, in1) float32: max over the sun ray of
     ``h(s) - (z_org + s * m_slope)`` (> 0 means terrain-occluded),
     matching :func:`horayzon_tpu.ops.sweep.shadow_metric` semantics with
     per-cell ray slopes computed in-kernel from the sun coordinates.
+
+    ``mask``: optional (in0, in1) uint8/bool; fully masked tiles are
+    skipped (their output cells hold unspecified values — callers encode
+    masked cells separately, as :class:`horayzon_tpu.shadow.Terrain` does).
     """
     z_outer = jnp.asarray(z_outer, dtype=jnp.float32)
     sun_table = np.asarray(sun_table, dtype=np.float32)
@@ -807,6 +984,10 @@ def shadow_metric_pallas(z_outer, z_org_r, z_inner_r, sun_table, *,
         sun_table = np.concatenate(
             [sun_table, np.repeat(sun_table[-1:], t_pad - num_sun, 0)], 0)
 
+    tmap = tile_schedule((in0, in1), (t0, t1), mask)
+    if tmap.shape[0] == 0:
+        return jnp.full((num_sun, in0, in1), jnp.float32(_NEG_INIT))
+
     levels_meta, phases_meta = _build_metas(schedule, t0, t1, schedule.step)
     off0, off1 = offset
     h_out, w_out = z_outer.shape
@@ -817,7 +998,8 @@ def shadow_metric_pallas(z_outer, z_org_r, z_inner_r, sun_table, *,
     out = _shadow_core(
         z_outer, jnp.asarray(z_org_r, dtype=jnp.float32),
         jnp.asarray(z_inner_r, dtype=jnp.float32),
-        jnp.asarray(sun_table),
+        jnp.asarray(sun_table), jnp.asarray(tmap),
+        jnp.zeros((4,), dtype=jnp.int32),
         levels_meta=tuple(levels_meta), phases_meta=tuple(phases_meta),
         pads=schedule.pads, tile=(t0, t1), t_chunk=t_chunk,
         offset=(off0, off1), inner_shape=(in0, in1),
@@ -829,16 +1011,15 @@ def shadow_metric_pallas(z_outer, z_org_r, z_inner_r, sun_table, *,
     return out[:num_sun]
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("levels_meta", "phases_meta", "pads", "tile",
-                     "t_chunk", "offset", "inner_shape", "dx", "dy", "step",
-                     "dist", "near_ex", "n_safe", "grid_origin",
-                     "interpret"))
-def _shadow_core(z_outer, z_org_r, z_inner_r, sun_table, *, levels_meta,
-                 phases_meta, pads, tile, t_chunk, offset, inner_shape, dx,
-                 dy, step, dist, near_ex, n_safe, grid_origin, interpret):
-    """One fused jit: mip pyramid + padding + the Pallas shadow kernel."""
+def shadow_forward_fn(z_outer, z_org_r, z_inner_r, sun_table, tile_map,
+                      shard_off, *, levels_meta, phases_meta, pads, tile,
+                      t_chunk, offset, inner_shape, dx, dy, step, dist,
+                      near_ex, n_safe, grid_origin, interpret):
+    """Unjitted fused shadow forward: pyramid + padding + Pallas kernel.
+
+    Safe to embed in ``shard_map``; ``tile_map``/``shard_off`` as in
+    :func:`pallas_forward_fn` (shard_off[2] is unused — the sun axis is
+    never sharded inside one call)."""
     t0, t1 = tile
     in0, in1 = inner_shape
     off0, off1 = offset
@@ -853,7 +1034,7 @@ def _shadow_core(z_outer, z_org_r, z_inner_r, sun_table, *, levels_meta,
             constant_values=_mip.PAD_VALUE))
     pooled = _pool8(padded, levels_meta)
 
-    grid = (in0 // t0, in1 // t1, num_sun // t_chunk)
+    grid = (tile_map.shape[0], num_sun // t_chunk)
 
     kernel = functools.partial(
         _kernel,
@@ -864,12 +1045,13 @@ def _shadow_core(z_outer, z_org_r, z_inner_r, sun_table, *, levels_meta,
         near_exact=near_ex, n_safe=n_safe, mode="shadow",
         grid_origin=grid_origin)
 
+    tile_spec = pl.BlockSpec(
+        (t0, t1), lambda ti, tk, tm, so: (tm[ti, 0], tm[ti, 1]),
+        memory_space=pltpu.VMEM)
     in_specs = [
-        pl.BlockSpec((t0, t1), lambda ti, tj, tk: (ti, tj),
-                     memory_space=pltpu.VMEM),                     # z_org_r
-        pl.BlockSpec((t0, t1), lambda ti, tj, tk: (ti, tj),
-                     memory_space=pltpu.VMEM),                     # z_inner_r
-        pl.BlockSpec((t_chunk, 8), lambda ti, tj, tk: (tk, 0),
+        tile_spec,                                                 # z_org_r
+        tile_spec,                                                 # z_inner_r
+        pl.BlockSpec((t_chunk, 8), lambda ti, tk, tm, so: (tk, 0),
                      memory_space=pltpu.SMEM),                     # sun table
     ] + [pl.BlockSpec(memory_space=pl.ANY)
          for _ in range(2 * len(levels_meta))]
@@ -880,14 +1062,27 @@ def _shadow_core(z_outer, z_org_r, z_inner_r, sun_table, *, levels_meta,
         + [pltpu.SMEM((len(levels_meta),), jnp.float32),
            pltpu.SemaphoreType.DMA((2 * len(levels_meta),))])
 
-    return pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((t_chunk, t0, t1),
-                               lambda ti, tj, tk: (tk, ti, tj),
-                               memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (t_chunk, t0, t1),
+            lambda ti, tk, tm, so: (tk, tm[ti, 0], tm[ti, 1]),
+            memory_space=pltpu.VMEM),
+        scratch_shapes=scratch_shapes)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_sun, in0, in1), jnp.float32),
-        scratch_shapes=scratch_shapes,
         interpret=interpret,
-    )(z_org_r, z_inner_r, sun_table, *padded, *pooled)
+    )(tile_map, shard_off, z_org_r, z_inner_r, sun_table, *padded, *pooled)
+
+
+#: Jitted entry for :func:`shadow_forward_fn`.
+_shadow_core = functools.partial(
+    jax.jit,
+    static_argnames=("levels_meta", "phases_meta", "pads", "tile",
+                     "t_chunk", "offset", "inner_shape", "dx", "dy", "step",
+                     "dist", "near_ex", "n_safe", "grid_origin",
+                     "interpret"))(shadow_forward_fn)

@@ -438,13 +438,11 @@ def horizon_shift_tables(schedule, azim, dx, dy, offset, u_xy=None,
 # Horizon sweep core
 # ---------------------------------------------------------------------------
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("sched_meta", "pads", "inner_shape", "planar",
-                     "track_dist", "outer_shape"))
-def _horizon_core(z_outer, z_org, z_inner, geom, tables, trig, *, sched_meta,
-                  pads, inner_shape, planar, track_dist, outer_shape=None):
-    """Jitted horizon sweep.
+def horizon_core_fn(z_outer, z_org, z_inner, geom, tables, trig, *,
+                    sched_meta, pads, inner_shape, planar, track_dist,
+                    outer_shape=None, apply_arctan=True):
+    """Horizon sweep core (unjitted — for embedding in ``shard_map`` or
+    custom VJPs; the jitted entry is :data:`_horizon_core`).
 
     z_outer : (H, W) outer heightfield, or a tuple of *pre-built padded
               pyramid levels* (multi-resolution terrain; see ops.multires) —
@@ -456,6 +454,9 @@ def _horizon_core(z_outer, z_org, z_inner, geom, tables, trig, *, sched_meta,
               components
     tables  : shift tables (pytree of (A, Mu, U) arrays)
     trig    : dict with ``sin``, ``cos``, ``ux``, ``uy`` (A,) arrays
+    apply_arctan : when False, return the raw elevation-angle *ratio*
+        instead of the angle (used by the Pallas custom VJP, which adds
+        tilt-ramp terms before the arctan).
     """
     num_levels = len(pads)
     if isinstance(z_outer, (tuple, list)):
@@ -628,7 +629,7 @@ def _horizon_core(z_outer, z_org, z_inner, geom, tables, trig, *, sched_meta,
                     return (ratio, dist), None
                 (ratio, dist), _ = lax.scan(bodyl, (ratio, dist), ph)
 
-        hori = jnp.arctan(ratio)
+        hori = jnp.arctan(ratio) if apply_arctan else ratio
         return None, (hori, dist)
 
     xs_all = dict(trig)
@@ -640,6 +641,14 @@ def _horizon_core(z_outer, z_org, z_inner, geom, tables, trig, *, sched_meta,
     if track_dist:
         return out, jnp.moveaxis(dist_a, 0, -1)
     return out, None
+
+
+#: Jitted entry for :func:`horizon_core_fn`.
+_horizon_core = functools.partial(
+    jax.jit,
+    static_argnames=("sched_meta", "pads", "inner_shape", "planar",
+                     "track_dist", "outer_shape", "apply_arctan"))(
+    horizon_core_fn)
 
 
 def horizon_sweep(z_outer, *, dx, dy, offset, inner_shape, azim, dist_search,
@@ -728,13 +737,11 @@ def horizon_sweep(z_outer, *, dx, dy, offset, inner_shape, azim, dist_search,
 # Shadow sweep core (traced marching direction)
 # ---------------------------------------------------------------------------
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("sched_meta", "pads", "offset", "inner_shape"))
-def _shadow_metric_core(z_outer, z_org, z_inner, m_slope, u_cells, s_phases,
-                        *, sched_meta, pads, offset, inner_shape,
-                        row_shift=0):
-    """Maximum over the sun ray of ``h(s) - (z_org + s * m_slope)``.
+def shadow_metric_core_fn(z_outer, z_org, z_inner, m_slope, u_cells,
+                          s_phases, *, sched_meta, pads, offset, inner_shape,
+                          row_shift=0):
+    """Maximum over the sun ray of ``h(s) - (z_org + s * m_slope)``
+    (unjitted core; the jitted entry is :data:`_shadow_metric_core`).
 
     ``u_cells`` is the traced horizontal marching direction (2,) in *grid
     cells per metre*: ``(ui, uj) = (uy/dy, ux/dx)``; ``m_slope`` is the
@@ -826,6 +833,13 @@ def _shadow_metric_core(z_outer, z_org, z_inner, m_slope, u_cells, s_phases,
                 return metric, None
             metric, _ = lax.scan(bodyl, metric, s_arr)
     return metric
+
+
+#: Jitted entry for :func:`shadow_metric_core_fn`.
+_shadow_metric_core = functools.partial(
+    jax.jit,
+    static_argnames=("sched_meta", "pads", "offset", "inner_shape"))(
+    shadow_metric_core_fn)
 
 
 def shadow_metric(z_outer, z_org, z_inner, m_slope, u_cells, schedule,

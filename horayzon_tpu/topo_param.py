@@ -166,8 +166,8 @@ def slope_vector_meth(x, y, z, rot_mat=None, output_rot=False):
                                          output_rot))
 
 
-@jax.jit
-def _svf_core(azim, hori, vec_tilt):
+def svf_core_fn(azim, hori, vec_tilt):
+    """Unjitted SVF core (for embedding in larger jitted programs)."""
     azim_sin = jnp.sin(azim)  # (A,)
     azim_cos = jnp.cos(azim)
     tx = vec_tilt[..., 0:1]
@@ -181,6 +181,10 @@ def _svf_core(azim, hori, vec_tilt):
             + tz * jnp.cos(theta) ** 2)
     azim_spac = azim[1] - azim[0]
     return (azim_spac / (2.0 * jnp.pi)) * jnp.sum(term, axis=-1)
+
+
+#: Jitted entry for :func:`svf_core_fn`.
+_svf_core = jax.jit(svf_core_fn)
 
 
 def sky_view_factor(azim, hori, vec_tilt):

@@ -3,7 +3,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from horayzon_tpu.ops import sweep
-from horayzon_tpu.topo_param import _svf_core
+from horayzon_tpu.topo_param import svf_core_fn
 
 from reference_impl import gaussian_bumps_terrain
 
@@ -12,7 +12,7 @@ def _loss(z, azim, tilt):
     hori, _ = sweep.horizon_sweep(z, dx=25.0, dy=-25.0, offset=(16, 16),
                                   inner_shape=(16, 16), azim=azim,
                                   dist_search=400.0)
-    svf = _svf_core.__wrapped__(jnp.asarray(azim, jnp.float32), hori, tilt)
+    svf = svf_core_fn(jnp.asarray(azim, jnp.float32), hori, tilt)
     return jnp.mean(svf)
 
 

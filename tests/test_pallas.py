@@ -54,6 +54,78 @@ def test_pallas_mip_phase_matches_xla_interpret():
     assert d.max() < 0.3, f"max diff {d.max():.3f} deg"
 
 
+def test_pallas_mask_tile_skipping():
+    """Tiles with no unmasked cell are skipped: active tiles match the
+    unmasked run exactly; the grid shrinks to the active tile count."""
+    z = gaussian_bumps_terrain(96, 96, seed=3, amp=300.0)
+    azim_num = 4
+    kw = dict(dx=25.0, dy=-25.0, offset=(32, 32), inner_shape=(32, 32),
+              dist_search=900.0, hori_acc=0.25, azim_num=azim_num,
+              a_chunk=4, tile=(16, 16), interpret=True)
+    full = np.asarray(pallas_sweep.horizon_sweep_pallas(z, **kw))
+    mask = np.zeros((32, 32), dtype=np.uint8)
+    mask[:16, 16:] = 1                     # only tile (0, 1) active
+    part = np.asarray(pallas_sweep.horizon_sweep_pallas(z, mask=mask, **kw))
+    np.testing.assert_array_equal(part[:16, 16:], full[:16, 16:])
+    # tile schedule really is compacted
+    tmap = pallas_sweep.tile_schedule((32, 32), (16, 16), mask)
+    assert tmap.shape == (1, 2) and tuple(tmap[0]) == (0, 1)
+    # all-masked: defined fill, no kernel launch
+    empty = np.asarray(pallas_sweep.horizon_sweep_pallas(
+        z, mask=np.zeros((32, 32), np.uint8), **kw))
+    assert empty.shape == full.shape
+
+
+def test_pallas_grad_matches_xla_sweep():
+    """jax.grad through the fused kernel (custom VJP, recompute via the
+    XLA sweep) vs jax.grad through ops.sweep.horizon_sweep."""
+    import jax
+    import jax.numpy as jnp
+
+    z = gaussian_bumps_terrain(96, 96, seed=4, amp=300.0)
+    azim_num = 4
+    azim = (2 * np.pi / azim_num) * np.arange(azim_num)
+    kw = dict(dx=25.0, dy=-25.0, offset=(32, 32), inner_shape=(32, 32),
+              dist_search=900.0, hori_acc=0.25)
+
+    def loss_pallas(zz):
+        h = pallas_sweep.horizon_sweep_pallas(
+            zz, azim_num=azim_num, a_chunk=4, tile=(32, 32),
+            interpret=True, **kw)
+        return jnp.mean(h ** 2)
+
+    def loss_xla(zz):
+        h, _ = sweep.horizon_sweep(zz, azim=azim, **kw)
+        return jnp.mean(h ** 2)
+
+    gp = np.asarray(jax.grad(loss_pallas)(jnp.asarray(z)))
+    gx = np.asarray(jax.grad(loss_xla)(jnp.asarray(z)))
+    assert np.isfinite(gp).all() and np.abs(gp).max() > 0.0
+    np.testing.assert_allclose(gp, gx, atol=1e-8)
+
+
+def test_pallas_grad_tilt_ramp():
+    """Gradients also flow to the tilt-ramp fields (curved fast path)."""
+    import jax
+    import jax.numpy as jnp
+
+    z = gaussian_bumps_terrain(64, 64, seed=6, amp=200.0)
+    ramp = np.full((16, 16), 1e-4, np.float32)
+
+    def loss(zz, ra, rb):
+        h = pallas_sweep.horizon_sweep_pallas(
+            zz, dx=25.0, dy=-25.0, offset=(24, 24), inner_shape=(16, 16),
+            azim_num=4, a_chunk=4, dist_search=400.0, tile=(16, 16),
+            tilt_ramp=(ra, rb), interpret=True)
+        return jnp.mean(h)
+
+    gz, ga, gb = jax.grad(loss, argnums=(0, 1, 2))(
+        jnp.asarray(z), jnp.asarray(ramp), jnp.asarray(ramp))
+    assert np.isfinite(np.asarray(gz)).all()
+    assert np.abs(np.asarray(ga)).max() > 0.0
+    assert np.abs(np.asarray(gb)).max() > 0.0
+
+
 def test_pallas_shadow_metric_interpret():
     """Shadow occlusion metric (pallas) vs ops.sweep.shadow_metric."""
     import jax.numpy as jnp
