@@ -1,17 +1,29 @@
 # Copyright (c) 2026
 # MIT License
-"""Ocean masking: coastline polygons, contours, distances and buffers.
+"""Ocean masking: coastline selection, contour tracing, distance buffers.
 
-Equivalent of reference ``horayzon/ocean_masking.py``
-(get_gshhs_coastlines ocean_masking.py:23, coastline_contours :112,
-coastline_distance :163, coastline_buffer :217).  Masking is a *work
-reduction* device: cells outside the coastline buffer are skipped by the
-horizon/shadow kernels (reference horizon_comp.cpp:749).
+Functional equivalent of the reference's ocean-masking module
+(``horayzon/ocean_masking.py:23,112,163,217``).  Masking is a *work
+reduction* device: cells beyond the coastline buffer are skipped by the
+horizon/shadow engines (tile-level skip in the Pallas kernel, mirroring
+reference horizon_comp.cpp:749).
 
-Optional dependencies are gated at call time: ``fiona``/``shapely`` for the
-GSHHG polygon query, ``scikit-image`` for sub-cell contour tracing (a pure
-NumPy edge-midpoint fallback is built in).  Distance queries use SciPy's
-KDTree as in the reference.
+Design notes (vs the reference):
+
+* Polygon candidate selection uses a plain vectorised bounding-box overlap
+  test over the cached bounds table — no spatial index library needed for
+  a one-shot rectangular query.
+* Contour tracing maps ``skimage.find_contours`` index coordinates to
+  lon/lat with the grid's linear transform directly; a pure-NumPy
+  edge-midpoint tracer stands in when scikit-image is missing.
+* The buffer classifies whole blocks by the triangle inequality
+  (centre distance +- the block's maximal chord radius) and refines only
+  the ambiguous shell per-cell, so its output is exactly the per-cell
+  answer at a fraction of the query cost.
+
+Optional dependencies (gated at call time): ``fiona`` + ``shapely`` for
+GSHHG polygons, ``scikit-image`` for sub-cell contours.  Distance queries
+use :class:`scipy.spatial.KDTree`.
 """
 
 import os
@@ -24,220 +36,271 @@ from scipy.spatial import KDTree
 
 from horayzon_tpu import transform
 from horayzon_tpu.auxiliary import get_path_aux_data
-from horayzon_tpu.download import file as download_file
+from horayzon_tpu.download import file as _download_file
+
+_GSHHG_URL = ("http://www.soest.hawaii.edu/pwessel/gshhg/"
+              "gshhg-shp-2.3.7.zip")
+#: full-resolution level-1 (continents + islands) shapefile inside GSHHG
+_GSHHG_SHP = os.path.join("GSHHS_shp", "f", "GSHHS_f_L1.shp")
+_BOUNDS_CACHE = "polygon_bounds_L1f.npy"
+
+
+# ---------------------------------------------------------------------------
+# GSHHG coastline polygons
+# ---------------------------------------------------------------------------
+
+def _gshhg_root():
+    """Path of the cached GSHHG extraction; downloads it on first use and
+    drops the unused resolutions/layers to save disk."""
+    root = os.path.join(get_path_aux_data(), "GSHHG")
+    if not os.path.isdir(root):
+        aux = get_path_aux_data()
+        print("Download GSHHG data:")
+        _download_file(_GSHHG_URL, aux)
+        archive = os.path.join(aux, _GSHHG_URL.rsplit("/", 1)[-1])
+        with zipfile.ZipFile(archive) as zf:
+            zf.extractall(root)
+        os.remove(archive)
+        for sub in ("WDBII_shp", os.path.join("GSHHS_shp", "h"),
+                    os.path.join("GSHHS_shp", "i")):
+            shutil.rmtree(os.path.join(root, sub), ignore_errors=True)
+    return root
+
+
+def _polygon_bounds(shp_path, cache_path):
+    """(N, 4) lon/lat bounds of every polygon in the shapefile, cached to
+    ``.npy`` next to the data (building it reads all ~180k geometries)."""
+    if os.path.isfile(cache_path):
+        return np.load(cache_path)
+    import fiona
+    from shapely.geometry import shape
+    with fiona.open(shp_path) as src:
+        table = np.empty((len(src), 4), dtype=np.float64)
+        for k, rec in enumerate(src):
+            table[k] = shape(rec["geometry"]).bounds
+    np.save(cache_path, table)
+    return table
 
 
 def get_gshhs_coastlines(domain):
-    """Relevant GSHHS coastline polygons for a lon/lat domain.
+    """GSHHS level-1 coastline polygons intersecting a lon/lat domain.
 
-    Mirrors reference ocean_masking.py:23-108: downloads GSHHG on first use,
-    caches polygon bounding boxes to ``.npy``, queries them with an STRtree
-    and crops intersecting polygons to the domain.  Requires the optional
-    dependencies ``fiona`` and ``shapely``.
+    Behavioural equivalent of reference ocean_masking.py:23-108.  The
+    GSHHG archive is fetched once; candidate polygons are pre-selected
+    with a vectorised bounding-box overlap test and then cropped to the
+    domain rectangle.
+
+    Parameters
+    ----------
+    domain : dict with ``lon_min, lon_max, lat_min, lat_max`` [deg]
+
+    Returns
+    -------
+    list of shapely polygons (cropped to the domain)
     """
     try:
         import fiona
-        from shapely.geometry import shape, box
-        from shapely.strtree import STRtree
+        from shapely.geometry import box, shape
     except ImportError as exc:
         raise ImportError("get_gshhs_coastlines requires the optional "
                           "dependencies 'fiona' and 'shapely'") from exc
 
-    keys_req = ("lon_min", "lon_max", "lat_min", "lat_max")
-    if not set(keys_req).issubset(set(domain.keys())):
+    missing = {"lon_min", "lon_max", "lat_min", "lat_max"} \
+        - set(domain.keys())
+    if missing:
         raise ValueError("one or multiple key(s) are missing in 'domain'")
-    if (domain["lon_min"] >= domain["lon_max"]) \
-            or (domain["lat_min"] >= domain["lat_max"]):
+    if (domain["lon_min"] >= domain["lon_max"]
+            or domain["lat_min"] >= domain["lat_max"]):
         raise ValueError("invalid domain extent")
 
-    path_aux_data = get_path_aux_data()
-    if not os.path.isdir(path_aux_data + "GSHHG"):
-        file_url = ("http://www.soest.hawaii.edu/pwessel/gshhg/"
-                    "gshhg-shp-2.3.7.zip")
-        print("Download GSHHG data:")
-        download_file(file_url, path_aux_data)
-        file_zipped = path_aux_data + os.path.split(file_url)[-1]
-        with zipfile.ZipFile(file_zipped, "r") as zip_ref:
-            zip_ref.extractall(path_aux_data + "GSHHG")
-        os.remove(file_zipped)
-        shutil.rmtree(path_aux_data + "GSHHG/WDBII_shp/", ignore_errors=True)
-        shutil.rmtree(path_aux_data + "GSHHG/GSHHS_shp/h/",
-                      ignore_errors=True)
-        shutil.rmtree(path_aux_data + "GSHHG/GSHHS_shp/i/",
-                      ignore_errors=True)
+    root = _gshhg_root()
+    shp = os.path.join(root, _GSHHG_SHP)
+    bounds = _polygon_bounds(shp, os.path.join(root, _BOUNDS_CACHE))
 
-    shp_file = path_aux_data + "GSHHG/GSHHS_shp/f/GSHHS_f_L1.shp"
-    file_bbc = path_aux_data + "GSHHG/Bounding_boxes_coastlines.npy"
-    if not os.path.isfile(file_bbc):
-        ds = fiona.open(shp_file)
-        bounds = np.empty((len(ds), 4), dtype=np.float32)
-        for idx, var in enumerate(ds):
-            bounds[idx, :] = shape(var["geometry"]).bounds
-        ds.close()
-        np.save(file_bbc, bounds)
+    # Rectangle overlap: polygon bbox (x0, y0, x1, y1) vs the query box.
+    hit = ((bounds[:, 0] <= domain["lon_max"])
+           & (bounds[:, 2] >= domain["lon_min"])
+           & (bounds[:, 1] <= domain["lat_max"])
+           & (bounds[:, 3] >= domain["lat_min"]))
+    idx = np.nonzero(hit)[0]
+    print("Number of polygons: " + str(len(idx)))
 
-    bounds = np.load(file_bbc)
-    geoms = [box(xmin, ymin, xmax, ymax)
-             for xmin, ymin, xmax, ymax in bounds]
-    tree = STRtree(geoms)
-    quer_rang = [domain["lon_min"], domain["lat_min"],
-                 domain["lon_max"], domain["lat_max"]]
-    ind = tree.query(box(*quer_rang))
-
-    ds = fiona.open(shp_file)
-    poly_all = [shape(ds[int(i)]["geometry"]) for i in ind]
-    ds.close()
-    print("Number of polygons: " + str(len(poly_all)))
-
-    quer_rang_s = box(*quer_rang)
-    poly_coastlines = []
-    for poly in poly_all:
-        if quer_rang_s.contains(poly):
-            poly_coastlines.append(poly)
-        elif quer_rang_s.intersects(poly):
-            poly_coastlines.append(quer_rang_s.intersection(poly))
-    return poly_coastlines
+    window = box(domain["lon_min"], domain["lat_min"],
+                 domain["lon_max"], domain["lat_max"])
+    clipped = []
+    with fiona.open(shp) as src:
+        for k in idx:
+            poly = shape(src[int(k)]["geometry"])
+            if window.contains(poly):
+                clipped.append(poly)
+            elif window.intersects(poly):
+                clipped.append(window.intersection(poly))
+    return clipped
 
 
-def _edge_midpoints(lon, lat, mask_bin):
-    """Pure-NumPy fallback for contour points: midpoints of grid edges where
-    the binary mask changes (sufficient for KDTree distance queries)."""
-    m = mask_bin.astype(np.int8)
-    pts = []
-    dh = m[:, 1:] != m[:, :-1]   # horizontal neighbours differ
-    ii, jj = np.nonzero(dh)
-    if len(ii):
-        pts.append(np.stack([(lon[jj] + lon[jj + 1]) / 2.0, lat[ii]],
-                            axis=1))
-    dv = m[1:, :] != m[:-1, :]
-    ii, jj = np.nonzero(dv)
-    if len(ii):
-        pts.append(np.stack([lon[jj], (lat[ii] + lat[ii + 1]) / 2.0],
-                            axis=1))
-    if not pts:
-        return []
-    return [np.vstack(pts)]
+# ---------------------------------------------------------------------------
+# Coastline contours from a land-sea mask
+# ---------------------------------------------------------------------------
+
+def _transition_midpoints(lon, lat, land):
+    """NumPy stand-in for sub-cell contour tracing: midpoints of all grid
+    edges whose endpoints differ in the mask.  Unordered, but equivalent
+    for nearest-distance queries."""
+    chunks = []
+    flip_w = land[:, 1:] != land[:, :-1]        # west-east neighbours
+    r, c = np.nonzero(flip_w)
+    if r.size:
+        chunks.append(np.column_stack(
+            [0.5 * (lon[c] + lon[c + 1]), lat[r]]))
+    flip_s = land[1:, :] != land[:-1, :]        # south-north neighbours
+    r, c = np.nonzero(flip_s)
+    if r.size:
+        chunks.append(np.column_stack(
+            [lon[c], 0.5 * (lat[r] + lat[r + 1])]))
+    return [np.concatenate(chunks, axis=0)] if chunks else []
 
 
 def coastline_contours(lon, lat, mask_bin):
-    """Coastline contours from a binary land-sea mask.
+    """Coastline contour polylines of a binary land-sea mask.
 
-    Mirrors reference ocean_masking.py:112-160: contours are traced at the
-    0.5 level and snapped to half-cell lon/lat coordinates.  Uses
-    scikit-image when available; otherwise falls back to an unordered
-    edge-midpoint point cloud (equivalent for distance queries).
+    Behavioural equivalent of reference ocean_masking.py:112-160: contours
+    of the 0.5 level, returned as (N, 2) lon/lat arrays.  Index
+    coordinates from ``skimage.measure.find_contours`` are mapped through
+    the grid's linear transform; without scikit-image an edge-midpoint
+    point cloud is returned instead (same use: distance queries).
     """
     lon = np.asarray(lon)
     lat = np.asarray(lat)
     mask_bin = np.asarray(mask_bin)
-    if (lat.ndim != 1) or (lon.ndim != 1):
+    if lon.ndim != 1 or lat.ndim != 1:
         raise ValueError("Input coordinates arrays must be 1-dimensional")
-    if (mask_bin.shape[0] != len(lat)) or (mask_bin.shape[1] != len(lon)):
+    if mask_bin.shape != (lat.size, lon.size):
         raise ValueError("Input data has inconsistent dimension length(s)")
-    if (mask_bin.dtype != np.uint8) or (len(np.unique(mask_bin)) != 2) \
-            or (not np.all(np.unique(mask_bin) == [0, 1])):
+    levels = np.unique(mask_bin)
+    if (mask_bin.dtype != np.uint8 or levels.size != 2
+            or not np.array_equal(levels, [0, 1])):
         raise ValueError("'mask_bin' must be of type 'uint8' and may only "
                          "contain 0 and 1")
+
     try:
         from skimage.measure import find_contours
     except ImportError:
-        return _edge_midpoints(lon, lat, mask_bin)
+        return _transition_midpoints(lon, lat, mask_bin.astype(bool))
 
-    contours = find_contours(mask_bin, 0.5, fully_connected="high")
-    lon_ind = np.linspace(lon[0], lon[-1], len(lon) * 2 - 1)
-    lat_ind = np.linspace(lat[0], lat[-1], len(lat) * 2 - 1)
-    contours_latlon = []
-    for c in contours:
-        pts = np.empty(c.shape, dtype=np.float64)
-        pts[:, 0] = lon_ind[(c[:, 1] * 2).astype(np.int32)]
-        pts[:, 1] = lat_ind[(c[:, 0] * 2).astype(np.int32)]
-        contours_latlon.append(pts)
-    return contours_latlon
+    d_lon = (lon[-1] - lon[0]) / (lon.size - 1)
+    d_lat = (lat[-1] - lat[0]) / (lat.size - 1)
+    polylines = []
+    for path in find_contours(mask_bin, 0.5, fully_connected="high"):
+        pts = np.empty_like(path)
+        pts[:, 0] = lon[0] + path[:, 1] * d_lon    # column -> lon
+        pts[:, 1] = lat[0] + path[:, 0] * d_lat    # row -> lat
+        polylines.append(pts)
+    return polylines
 
+
+# ---------------------------------------------------------------------------
+# Chord distances and the buffer mask
+# ---------------------------------------------------------------------------
 
 def coastline_distance(x_ecef, y_ecef, z_ecef, mask_land, pts_ecef):
-    """Minimal chord distance between water cells and the coastline.
+    """Minimal chord (straight-line ECEF) distance of every water cell to
+    the coastline point set; land cells get NaN.
 
-    Mirrors reference ocean_masking.py:163-214 (KDTree nearest-neighbour
-    query); land cells get NaN."""
+    Behavioural equivalent of reference ocean_masking.py:163-214."""
     x_ecef = np.asarray(x_ecef)
     mask_land = np.asarray(mask_land)
     if x_ecef.shape != mask_land.shape:
         raise ValueError("Input data has inconsistent dimension length(s)")
     if mask_land.dtype != np.bool_:
         raise ValueError("'mask_land' must be a boolean mask")
-    tree = KDTree(pts_ecef)
-    pts_quer = np.vstack((x_ecef[~mask_land], np.asarray(y_ecef)[~mask_land],
-                          np.asarray(z_ecef)[~mask_land])).transpose()
-    dist_quer, _ = tree.query(pts_quer, k=1, workers=-1)
-    dist_chord = np.full(x_ecef.shape, np.nan, dtype=np.float64)
-    dist_chord[~mask_land] = dist_quer
-    return dist_chord
+    water = ~mask_land
+    queries = np.column_stack([np.asarray(a)[water]
+                               for a in (x_ecef, y_ecef, z_ecef)])
+    out = np.full(x_ecef.shape, np.nan)
+    if queries.size:
+        out[water] = KDTree(pts_ecef).query(queries, k=1, workers=-1)[0]
+    return out
+
+
+def _block_chord_radius(lat, dem_res, half, ellps):
+    """Upper bound on the chord distance from a block centre to any cell
+    of a (2*half+1)^2 block, evaluated at the domain's most-equatorward
+    latitude (where a degree of longitude is longest)."""
+    lat0 = max(np.abs(lat).min() - 1.0, 0.0)
+    span = dem_res * half
+    ax, ay, az = transform.lonlat2ecef(
+        np.array([0.0]), np.array([lat0]), np.zeros(1, np.float32),
+        ellps=ellps)
+    bx, by, bz = transform.lonlat2ecef(
+        np.array([span]), np.array([lat0 + span]), np.zeros(1, np.float32),
+        ellps=ellps)
+    return float(np.sqrt((ax - bx) ** 2 + (ay - by) ** 2
+                         + (az - bz) ** 2)[0])
 
 
 def coastline_buffer(x_ecef, y_ecef, z_ecef, mask_land, pts_ecef, lat,
-                     dist_thr, dem_res, ellps, block_size=(5 * 2 + 1)):
-    """Mask cells whose distance from the coastline exceeds ``dist_thr``.
+                     dist_thr, dem_res, ellps, block_size=11):
+    """True where a cell lies farther than ``dist_thr`` from the coastline
+    (i.e. can be excluded from terrain computations); land cells are
+    always False.
 
-    Mirrors reference ocean_masking.py:217-345: blocks of cells are first
-    classified with a single centre query plus the block's maximal chord
-    length; only ambiguous blocks fall through to per-cell queries.
+    Behavioural equivalent of reference ocean_masking.py:217-345.  Blocks
+    of ``block_size x block_size`` cells are classified with one centre
+    query via the triangle inequality; only the ambiguous shell (centre
+    distance within one block radius of the threshold) is refined with
+    per-cell queries, so the result equals the exhaustive per-cell answer.
     """
-    x_ecef = np.asarray(x_ecef)
-    y_ecef = np.asarray(y_ecef)
-    z_ecef = np.asarray(z_ecef)
+    arrays = [np.asarray(a) for a in (x_ecef, y_ecef, z_ecef)]
+    x_ecef, y_ecef, z_ecef = arrays
     mask_land = np.asarray(mask_land)
     lat = np.asarray(lat)
-    if (x_ecef.shape != mask_land.shape) or (x_ecef.shape[0] != len(lat)):
+    if x_ecef.shape != mask_land.shape or x_ecef.shape[0] != lat.size:
         raise ValueError("Input data has inconsistent dimension length(s)")
     if mask_land.dtype != np.bool_:
         raise ValueError("'mask_land' must be a boolean mask")
-    if ellps not in ("sphere", "WGS84", "GRS80"):
+    if ellps not in ("sphere", "GRS80", "WGS84"):
         raise ValueError("invalid value for 'ellps'")
     if block_size % 2 != 1:
         raise ValueError("Integer value for 'block_size' must be uneven")
 
-    t_beg_func = time.time()
-    # Maximal chord length across half a block (ocean_masking.py:269-283)
-    lat_ini = np.maximum(np.abs(lat).min() - 1.0, 0.0)
-    half = int((block_size - 1) / 2)
-    lon_pair = np.array([0.0, dem_res * half], dtype=np.float64)
-    lat_pair = np.array([lat_ini, lat_ini + dem_res * half],
-                        dtype=np.float64)
-    h_pair = np.zeros(2, dtype=np.float32)
-    cx, cy, cz = transform.lonlat2ecef(lon_pair, lat_pair, h_pair,
-                                       ellps=ellps)
-    chord_max = float(np.sqrt(np.diff(cx) ** 2 + np.diff(cy) ** 2
-                              + np.diff(cz) ** 2)[0])
-    if chord_max > dist_thr:
+    t_start = time.time()
+    half = block_size // 2
+    radius = _block_chord_radius(lat, dem_res, half, ellps)
+    if radius > dist_thr:
         raise ValueError("Maximal chord distance is larger than 'dist_thr'")
 
     tree = KDTree(pts_ecef)
-    slic = (slice(half, None, block_size), slice(half, None, block_size))
-    pts_quer = np.vstack((x_ecef[slic].ravel(), y_ecef[slic].ravel(),
-                          z_ecef[slic].ravel())).transpose()
-    dist_quer, _ = tree.query(pts_quer, k=1, workers=-1)
+    nr, nc = x_ecef.shape
+    # Block centres: one sample per block_size cells, starting at `half`.
+    rows_c = np.arange(half, nr, block_size)
+    cols_c = np.arange(half, nc, block_size)
+    centres = np.column_stack(
+        [a[np.ix_(rows_c, cols_c)].ravel() for a in arrays])
+    d_centre = tree.query(centres, k=1, workers=-1)[0] \
+        .reshape(rows_c.size, cols_c.size)
 
-    shp = x_ecef[slic].shape
-    dist_2d = dist_quer.reshape(shp)
-    mask_buffer = np.full(x_ecef.shape, -1, dtype=np.int32)
-    blocks = np.full(dist_2d.shape, -1, dtype=np.int32)
-    blocks[dist_2d <= (dist_thr - chord_max)] = 0   # inside buffer
-    blocks[dist_2d > (dist_thr + chord_max)] = 1    # outside buffer
-    slic_sd = (slice(0, shp[0] * block_size), slice(0, shp[1] * block_size))
-    mask_buffer[slic_sd] = np.repeat(
-        np.repeat(blocks, block_size, axis=0), block_size,
-        axis=1)[:x_ecef.shape[0], :x_ecef.shape[1]]
+    # -1 = ambiguous, 0 = whole block within buffer, 1 = whole block out.
+    verdict = np.full(d_centre.shape, -1, dtype=np.int8)
+    verdict[d_centre <= dist_thr - radius] = 0
+    verdict[d_centre > dist_thr + radius] = 1
+    # Broadcast block verdicts to cells; cells beyond the last centred
+    # block (truncated edge blocks) stay ambiguous.
+    cell_verdict = np.full(x_ecef.shape, -1, dtype=np.int8)
+    full_r = rows_c.size * block_size
+    full_c = cols_c.size * block_size
+    spread = np.kron(verdict, np.ones((block_size, block_size), np.int8))
+    cell_verdict[:full_r, :full_c] = spread[:min(full_r, nr),
+                                            :min(full_c, nc)]
 
-    mask_rem = (mask_buffer == -1)
-    frac = mask_rem.sum() / mask_buffer.size * 100.0
-    print(f"Number of remaining grid cells: {mask_rem.sum()} "
-          f"(fraction: {frac:.2f} %)")
-    pts_quer = np.vstack((x_ecef[mask_rem], y_ecef[mask_rem],
-                          z_ecef[mask_rem])).transpose()
-    if len(pts_quer):
-        dist_quer, _ = tree.query(pts_quer, k=1, workers=-1)
-        mask_buffer[mask_rem] = (dist_quer > dist_thr).astype(np.int32)
-    mask_buffer[mask_land] = 0
-    print("Run time: %.2f" % (time.time() - t_beg_func) + " s")
-    return mask_buffer.astype(bool)
+    unresolved = cell_verdict == -1
+    share = 100.0 * unresolved.sum() / unresolved.size
+    print(f"Number of remaining grid cells: {unresolved.sum()} "
+          f"(fraction: {share:.2f} %)")
+    if unresolved.any():
+        queries = np.column_stack([a[unresolved] for a in arrays])
+        d_cell = tree.query(queries, k=1, workers=-1)[0]
+        cell_verdict[unresolved] = (d_cell > dist_thr).astype(np.int8)
+
+    cell_verdict[mask_land] = 0
+    print("Run time: %.2f" % (time.time() - t_start) + " s")
+    return cell_verdict.astype(bool)
