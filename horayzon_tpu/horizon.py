@@ -140,7 +140,26 @@ def horizon_gridded(
     inner_shape = (vec_norm.shape[0], vec_norm.shape[1])
     azim = azimuth_angles(azim_num)
 
-    if grid is None:
+    if (vert_simp is None) != (tri_ind_simp is None):
+        raise ValueError("vert_simp and tri_ind_simp must be provided "
+                         "together")
+    if vert_simp is not None:
+        # Simplified outer TIN (reference horizon.pyx:84-97 /
+        # horizon_comp.cpp:199-218): rasterised to a coarse far-field
+        # lattice and swept with the multi-resolution engine.
+        if grid is None:
+            raise ValueError("the simplified outer TIN (vert_simp) is "
+                             "only supported on planar regular grids "
+                             "(reference usage: gridded_planar_DEM_2m)")
+        t0 = time.perf_counter()
+        hori = _tin_gridded(
+            z, grid, vert_simp, num_vert_simp, tri_ind_simp, num_tri_simp,
+            offset=(offset_0, offset_1), inner_shape=inner_shape,
+            azim_num=azim_num, dist_search_m=dist_search * 1000.0,
+            hori_acc=hori_acc, elev_ang_low_lim=elev_ang_low_lim,
+            ray_org_elev=ray_org_elev, engine=engine,
+            mask=mask if mask.min() == 0 else None)
+    elif grid is None:
         # Curved ENU mesh: planarise onto a regular lattice, sweep there,
         # then sample the horizon back at the original cell positions.
         t0 = time.perf_counter()
@@ -216,6 +235,80 @@ def horizon_gridded(
         print(f"Number of grid cells for which horizon is computed: "
               f"{n_cells} ({100.0 * n_cells / n_tot:.2f} % of the domain)")
     return hori, azim
+
+
+def _tin_gridded(z, grid, vert_simp, num_vert_simp, tri_ind_simp,
+                 num_tri_simp, *, offset, inner_shape, azim_num,
+                 dist_search_m, hori_acc, elev_ang_low_lim, ray_org_elev,
+                 engine, mask=None):
+    """Gridded horizon with a simplified outer TIN as the far field.
+
+    The TIN (reference: built by the external ``hmm`` tool and attached to
+    the Embree scene, gridded_planar_DEM_2m.py:130-265) is rasterised onto
+    a coarse lattice aligned with the fine grid and swept with the
+    multi-resolution engine (:mod:`horayzon_tpu.ops.multires`); the
+    coarsening ratio is chosen from the TIN's triangle density and reduced
+    until the fine-grid halo covers all sub-ratio marching phases.
+    """
+    import math
+
+    from horayzon_tpu.ops import multires as _multires
+    from horayzon_tpu.ops import sweep as _sweep_mod
+
+    verts = np.asarray(vert_simp, dtype=np.float32)
+    tris = np.asarray(tri_ind_simp, dtype=np.int32).reshape(-1)
+    n_tri = int(min(num_tri_simp, len(tris) // 3))
+    tris = tris[:3 * n_tri]
+
+    # Coarsening ratio from the TIN's mean triangle footprint (two
+    # triangles per quad of coarse cells), capped by the fine halo.
+    vxy = verts.reshape(-1, 3)[:max(1, int(num_vert_simp))]
+    bbox_cells = (max(np.ptp(vxy[:, 0]) / abs(grid.dx), 1.0)
+                  * max(np.ptp(vxy[:, 1]) / abs(grid.dy), 1.0))
+    cells_per_tri = max(bbox_cells / max(n_tri, 1), 2.0)
+    ratio_log2 = int(np.clip(round(math.log2(math.sqrt(cells_per_tri
+                                                       / 2.0))), 1, 8))
+
+    step = min(abs(grid.dx), abs(grid.dy))
+    rel_err = _sweep_mod.default_rel_err(hori_acc)
+    schedule = _sweep_mod.build_schedule(step, dist_search_m, rel_err)
+    while ratio_log2 > 1:
+        try:
+            _multires._validate_fine_halo(schedule, ratio_log2, step,
+                                          offset, inner_shape, z.shape)
+            break
+        except ValueError:
+            ratio_log2 -= 1
+    # ratio 1 failing raises with the halo explanation (never silent)
+    _multires._validate_fine_halo(schedule, 1, step, offset, inner_shape,
+                                  z.shape)
+
+    z_coarse, coarse_offset = _multires.coarse_grid_from_tin(
+        verts, tris, grid=grid, fine_shape=z.shape, z_fine=z,
+        ratio_log2=ratio_log2, dist_search=dist_search_m)
+
+    kw = dict(ratio_log2=ratio_log2, coarse_offset=coarse_offset,
+              dx=grid.dx, dy=grid.dy, offset=offset,
+              dist_search=dist_search_m, hori_acc=hori_acc,
+              elev_ang_low_lim=elev_ang_low_lim,
+              ray_org_elev=ray_org_elev)
+    pl_shape = None
+    if engine in ("auto", "pallas"):
+        pl_shape = _pallas_padded_shape(z.shape, offset, inner_shape)
+    if pl_shape is not None and (engine == "pallas"
+                                 or (engine == "auto" and _on_tpu())):
+        (in0p, in1p), tile = pl_shape
+        mask_pad = None
+        if mask is not None:
+            mask_pad = np.zeros((in0p, in1p), dtype=np.uint8)
+            mask_pad[:inner_shape[0], :inner_shape[1]] = mask
+        hori = _multires.horizon_sweep_multires_pallas(
+            z, z_coarse, inner_shape=(in0p, in1p), azim_num=azim_num,
+            tile=tile, mask=mask_pad, **kw)
+        return hori[:inner_shape[0], :inner_shape[1]]
+    azim = azimuth_angles(azim_num)
+    return _multires.horizon_sweep_multires(
+        z, z_coarse, inner_shape=inner_shape, azim=azim, **kw)
 
 
 def _curved_gridded(x, y, z, vec_norm, vec_north, offset_0, offset_1, azim,

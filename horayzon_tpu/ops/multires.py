@@ -30,7 +30,8 @@ from horayzon_tpu.ops import mip as _mip
 from horayzon_tpu.ops import sweep as _sweep
 
 
-def combined_pyramid(z_fine, z_coarse, ratio_log2, coarse_offset, schedule):
+def combined_pyramid(z_fine, z_coarse, ratio_log2, coarse_offset, schedule,
+                     pad_extra=None):
     """Assemble padded pyramid levels from a fine and a coarse heightfield.
 
     Parameters
@@ -46,6 +47,12 @@ def combined_pyramid(z_fine, z_coarse, ratio_log2, coarse_offset, schedule):
         Position of fine cell (0, 0) within the coarse grid, in *fine* cells
         (must be multiples of ``2**ratio_log2``; i.e. the grids are aligned).
     schedule : ops.sweep.Schedule
+    pad_extra : None or (lo, hi_rows, hi_cols)
+        ``None`` pads each level for the XLA sweep's dynamic-slice reads
+        (symmetric ``pads[lvl]`` plus the slice-size right margin).  A
+        triple adds explicit extra sentinel margins around the schedule
+        pad on every level — the fused Pallas kernel's aligned-slab
+        margins are ``(4, 56, 776)`` (see pallas_sweep.pallas_forward_fn).
 
     Returns
     -------
@@ -61,11 +68,19 @@ def combined_pyramid(z_fine, z_coarse, ratio_log2, coarse_offset, schedule):
     hf, wf = z_fine.shape
     z_coarse = np.asarray(z_coarse, dtype=np.float32)
     hc, wc = z_coarse.shape
+    lo_e, hi_r, hi_c = (0, 0, 0) if pad_extra is None else pad_extra
 
     fine_levels = _mip.build_pyramid(jnp.asarray(z_fine, jnp.float32),
                                      min(ratio_log2, num_levels))
-    pyramid = [_mip.pad_level(fine_levels[lvl], pads[lvl])
-               for lvl in range(min(ratio_log2, num_levels))]
+    if pad_extra is None:
+        pyramid = [_mip.pad_level(fine_levels[lvl], pads[lvl])
+                   for lvl in range(min(ratio_log2, num_levels))]
+    else:
+        pyramid = [jnp.pad(fine_levels[lvl],
+                           ((pads[lvl] + lo_e, pads[lvl] + hi_r),
+                            (pads[lvl] + lo_e, pads[lvl] + hi_c)),
+                           constant_values=_mip.PAD_VALUE)
+                   for lvl in range(min(ratio_log2, num_levels))]
 
     if num_levels <= ratio_log2:
         return tuple(pyramid)
@@ -77,7 +92,7 @@ def combined_pyramid(z_fine, z_coarse, ratio_log2, coarse_offset, schedule):
     # every direction read real far-field terrain; then mip it down.
     nl = num_levels - ratio_log2
     align = 2 ** nl
-    need = max(pads[lvl] * (2 ** (lvl - ratio_log2))
+    need = max((pads[lvl] + lo_e) * (2 ** (lvl - ratio_log2))
                for lvl in range(ratio_log2, num_levels)) + 2
     p0 = ((need + align - 1) // align) * align
 
@@ -106,17 +121,22 @@ def combined_pyramid(z_fine, z_coarse, ratio_log2, coarse_offset, schedule):
         # current left offset (in level-l cells): p0 / 2^k (p0 is a
         # multiple of 2^nl >= 2^k, so this is exact)
         o = p0 >> k
-        pad_l = pads[lvl]
+        pad_l = pads[lvl] + lo_e       # target left pad of this level
         if o >= pad_l:
             a = a[o - pad_l:, :][:, o - pad_l:]
         else:
             a = jnp.pad(a, ((pad_l - o, 0), (pad_l - o, 0)),
                         constant_values=_mip.PAD_VALUE)
-        # right/bottom margin: slices reach (extent>>l) + 2*pad_l + Sz
-        need_i = (hf >> lvl) + 2 * pad_l + \
-            _sweep._mip_slice_size(hf, lvl) + 4
-        need_j = (wf >> lvl) + 2 * pad_l + \
-            _sweep._mip_slice_size(wf, lvl) + 4
+        if pad_extra is None:
+            # right/bottom margin: slices reach (extent>>l) + 2*pad + Sz
+            need_i = (hf >> lvl) + 2 * pads[lvl] + \
+                _sweep._mip_slice_size(hf, lvl) + 4
+            need_j = (wf >> lvl) + 2 * pads[lvl] + \
+                _sweep._mip_slice_size(wf, lvl) + 4
+        else:
+            ext = 2 ** lvl
+            need_i = (hf + ext - 1) // ext + pad_l + pads[lvl] + hi_r
+            need_j = (wf + ext - 1) // ext + pad_l + pads[lvl] + hi_c
         pad_i = max(0, need_i - a.shape[0])
         pad_j = max(0, need_j - a.shape[1])
         if pad_i or pad_j:
@@ -124,6 +144,187 @@ def combined_pyramid(z_fine, z_coarse, ratio_log2, coarse_offset, schedule):
                         constant_values=_mip.PAD_VALUE)
         pyramid.append(a)
     return tuple(pyramid)
+
+
+def rasterize_tin(vert_simp, tri_ind_simp, *, origin_xy, spacing_xy, shape,
+                  fill=_mip.PAD_VALUE):
+    """Sample a TIN onto a regular lattice by barycentric interpolation.
+
+    The reference attaches a simplified outer-domain TIN (built with the
+    external ``hmm`` tool) directly to its Embree scene
+    (horizon_comp.cpp:199-218); here the same TIN becomes a coarse far-
+    field heightfield for :func:`horizon_sweep_multires`.
+
+    Parameters
+    ----------
+    vert_simp : flat float32 array, interleaved (x, y, z) vertices
+        (Embree-style padded buffers are fine — the tail is unreferenced).
+    tri_ind_simp : flat int32 array of vertex indices, 3 per triangle.
+    origin_xy : (x0, y0) of lattice point (0, 0).
+    spacing_xy : (sx, sy) lattice spacings (sy signed, like ``dy``).
+    shape : (H, W) lattice size.
+
+    Returns
+    -------
+    (H, W) float32: TIN height at each lattice point; points covered by
+    several triangles (skirts/seams) get the maximum (conservative for
+    occlusion); points outside all triangles get ``fill``.
+    """
+    verts = np.asarray(vert_simp, dtype=np.float64).reshape(-1, 3)
+    tris = np.asarray(tri_ind_simp, dtype=np.int64).reshape(-1, 3)
+    x0, y0 = origin_xy
+    sx, sy = spacing_xy
+    h, w = shape
+    out = np.full((h, w), fill, dtype=np.float64)
+
+    # Vertex positions in (row, col) lattice coordinates
+    vi = (verts[:, 1] - y0) / sy
+    vj = (verts[:, 0] - x0) / sx
+    vz = verts[:, 2]
+    eps = 1.0e-9
+    for a, b, c in tris:
+        i_lo = max(int(np.ceil(min(vi[a], vi[b], vi[c]) - eps)), 0)
+        i_hi = min(int(np.floor(max(vi[a], vi[b], vi[c]) + eps)), h - 1)
+        j_lo = max(int(np.ceil(min(vj[a], vj[b], vj[c]) - eps)), 0)
+        j_hi = min(int(np.floor(max(vj[a], vj[b], vj[c]) + eps)), w - 1)
+        if i_hi < i_lo or j_hi < j_lo:
+            continue
+        ii, jj = np.meshgrid(np.arange(i_lo, i_hi + 1),
+                             np.arange(j_lo, j_hi + 1), indexing="ij")
+        # Barycentric coordinates of the lattice points
+        d = ((vi[b] - vi[a]) * (vj[c] - vj[a])
+             - (vj[b] - vj[a]) * (vi[c] - vi[a]))
+        if abs(d) < 1.0e-12:
+            continue
+        wb = ((ii - vi[a]) * (vj[c] - vj[a])
+              - (jj - vj[a]) * (vi[c] - vi[a])) / d
+        wc = ((jj - vj[a]) * (vi[b] - vi[a])
+              - (ii - vi[a]) * (vj[b] - vj[a])) / d
+        wa = 1.0 - wb - wc
+        tol = 1.0e-6
+        inside = (wa >= -tol) & (wb >= -tol) & (wc >= -tol)
+        if not inside.any():
+            continue
+        z_tri = wa * vz[a] + wb * vz[b] + wc * vz[c]
+        block = out[i_lo:i_hi + 1, j_lo:j_hi + 1]
+        np.maximum(block, np.where(inside, z_tri, fill), out=block)
+    return out.astype(np.float32)
+
+
+def coarse_grid_from_tin(vert_simp, tri_ind_simp, *, grid, fine_shape,
+                         z_fine, ratio_log2, dist_search):
+    """Build the multires coarse far field from a simplified outer TIN.
+
+    The coarse lattice is aligned to the fine grid (spacing ``2**r`` fine
+    cells), extends ``dist_search`` beyond it, and is filled from the TIN;
+    over the fine grid's own extent the max-pooled fine terrain wins (the
+    first coarse-phase samples can still land there).  Returns
+    ``(z_coarse, coarse_offset)`` for :func:`horizon_sweep_multires`.
+    """
+    r = 2 ** ratio_log2
+    hf, wf = fine_shape
+    # pad the lattice by the search distance, in whole coarse cells
+    pad_c = int(math.ceil(dist_search / (abs(grid.dx) * r))) + 2
+    n_i = (hf + r - 1) // r + 2 * pad_c
+    n_j = (wf + r - 1) // r + 2 * pad_c
+    oi = oj = pad_c * r                     # fine cell 0 at coarse pad_c
+    # Sample the TIN at the coarse block corners and centres; keep the max
+    # (the mip convention is block maxima).
+    corner = (grid.x0 - oj * grid.dx, grid.y0 - oi * grid.dy)
+    z_a = rasterize_tin(vert_simp, tri_ind_simp, origin_xy=corner,
+                        spacing_xy=(grid.dx * r, grid.dy * r),
+                        shape=(n_i, n_j))
+    centre = (corner[0] + 0.5 * r * grid.dx, corner[1] + 0.5 * r * grid.dy)
+    z_b = rasterize_tin(vert_simp, tri_ind_simp, origin_xy=centre,
+                        spacing_xy=(grid.dx * r, grid.dy * r),
+                        shape=(n_i, n_j))
+    z_coarse = np.maximum(z_a, z_b)
+    # overlay the fine grid's own max-pooled blocks (exact where known)
+    hp = hf - hf % r
+    wp = wf - wf % r
+    pooled = np.asarray(z_fine)[:hp, :wp] \
+        .reshape(hp // r, r, wp // r, r).max(axis=(1, 3))
+    ci, cj = oi // r, oj // r
+    z_coarse[ci:ci + hp // r, cj:cj + wp // r] = np.maximum(
+        z_coarse[ci:ci + hp // r, cj:cj + wp // r], pooled)
+    return z_coarse, (oi, oj)
+
+
+def _validate_fine_halo(schedule, ratio_log2, step, offset, inner_shape,
+                        fine_shape):
+    """Raise if phases reading fine-derived levels can leave the fine
+    grid's halo (they would sample sentinel padding instead of terrain)."""
+    in0, in1 = inner_shape
+    off0, off1 = offset
+    hf, wf = fine_shape
+    halo = min(off0, off1, hf - off0 - in0, wf - off1 - in1)
+    s_fine_max = 0.0
+    for ph, s_vals in zip(schedule.phases, schedule.s_values):
+        if ph.level < ratio_log2:
+            s_fine_max = max(s_fine_max, float(s_vals[-1]))
+    halo_needed = int(math.ceil(s_fine_max / step)) + 2
+    if halo < halo_needed:
+        raise ValueError(
+            f"fine-grid halo ({halo} cells) too small for the schedule: "
+            f"phases below level {ratio_log2} march to {s_fine_max:.0f} m "
+            f"(= {halo_needed} cells).  Widen the fine halo or use a "
+            f"smaller spacing ratio.")
+    return halo
+
+
+def horizon_sweep_multires_pallas(z_fine, z_coarse, *, ratio_log2,
+                                  coarse_offset, dx, dy, offset,
+                                  inner_shape, azim_num, dist_search,
+                                  hori_acc=0.25, elev_ang_low_lim=-15.0,
+                                  elev_ang_up_lim=89.98, ray_org_elev=0.01,
+                                  rel_err=None, max_level=10,
+                                  tile=(128, 256), a_chunk=None, mask=None,
+                                  interpret=False):
+    """Gridded horizon with a coarse far field on the fused Pallas engine.
+
+    Same accuracy contract as :func:`horizon_sweep_multires`, same engine
+    as :func:`horayzon_tpu.ops.pallas_sweep.horizon_sweep_pallas` — only
+    the pyramid levels at and above ``ratio_log2`` come from ``z_coarse``,
+    so the full-resolution outer grid never needs to exist (at the
+    reference's 2 m Alps scale it would not fit HBM;
+    examples/horizon/gridded_planar_DEM_2m.py:130-265).
+
+    Forward-only (planar).  Returns (in0, in1, azim_num) float32 [radian].
+    """
+    from horayzon_tpu.ops import pallas_sweep as _pallas
+
+    z_fine = jnp.asarray(z_fine, dtype=jnp.float32)
+    plan = _pallas.plan_sweep(
+        z_fine.shape, inner_shape=inner_shape, offset=offset, tile=tile,
+        azim_num=azim_num, dist_search=dist_search, dx=dx, dy=dy,
+        hori_acc=hori_acc, rel_err=rel_err, max_level=max_level,
+        a_chunk=a_chunk)
+    schedule = _sweep.build_schedule(plan["step"], plan["dist"],
+                                     plan["rel_err"],
+                                     max_level=plan["max_level"])
+    _validate_fine_halo(schedule, ratio_log2, plan["step"], offset,
+                        plan["inner_shape"], z_fine.shape)
+
+    pyramid = combined_pyramid(z_fine, z_coarse, ratio_log2, coarse_offset,
+                               schedule,
+                               pad_extra=_pallas.LEVEL_PAD_EXTRA)
+    tmap = _pallas.tile_schedule(plan["inner_shape"], plan["tile"], mask)
+    in0, in1 = plan["inner_shape"]
+    lo = math.radians(float(elev_ang_low_lim))
+    if tmap.shape[0] == 0:
+        return jnp.full((in0, in1, azim_num), jnp.float32(lo))
+    out = _pallas._pallas_core(
+        z_fine, None, jnp.asarray(tmap), jnp.zeros((4,), jnp.int32),
+        levels_meta=plan["levels_meta"], phases_meta=plan["phases_meta"],
+        pads=plan["pads"], tile=plan["tile"], a_chunk=plan["a_chunk"],
+        a_num=int(azim_num), n_az_out=int(azim_num),
+        offset=plan["offset"], inner_shape=plan["inner_shape"],
+        dx=plan["dx"], dy=plan["dy"], step=plan["step"], dist=plan["dist"],
+        near_ex=plan["near_ex"], n_safe=plan["n_safe"],
+        ray_org_elev=float(ray_org_elev),
+        elev_lims=(float(elev_ang_low_lim), float(elev_ang_up_lim)),
+        interpret=interpret, pyramid=tuple(pyramid))
+    return jnp.moveaxis(out, 0, -1)
 
 
 def horizon_sweep_multires(z_fine, z_coarse, *, ratio_log2, coarse_offset,
@@ -149,22 +350,11 @@ def horizon_sweep_multires(z_fine, z_coarse, *, ratio_log2, coarse_offset,
     schedule = _sweep.build_schedule(step, dist_search, rel_err,
                                      max_level=max_level)
 
-    # Validate: phases reading fine levels must stay inside the fine halo
     in0, in1 = inner_shape
     off0, off1 = offset
     hf, wf = z_fine.shape
-    halo = min(off0, off1, hf - off0 - in0, wf - off1 - in1)
-    s_fine_max = 0.0
-    for ph, s_vals in zip(schedule.phases, schedule.s_values):
-        if ph.level < ratio_log2:
-            s_fine_max = max(s_fine_max, float(s_vals[-1]))
-    halo_needed = int(math.ceil(s_fine_max / step)) + 2
-    if halo < halo_needed:
-        raise ValueError(
-            f"fine-grid halo ({halo} cells) too small for the schedule: "
-            f"phases below level {ratio_log2} march to {s_fine_max:.0f} m "
-            f"(= {halo_needed} cells).  Widen the fine halo or use a "
-            f"smaller spacing ratio.")
+    _validate_fine_halo(schedule, ratio_log2, step, offset, inner_shape,
+                        z_fine.shape)
 
     pyramid = combined_pyramid(z_fine, z_coarse, ratio_log2, coarse_offset,
                                schedule)

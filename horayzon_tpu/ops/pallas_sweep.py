@@ -222,6 +222,11 @@ def _kernel(tmap_ref, soff_ref, z_org_ref, z_inner_ref, *refs, levels_meta,
     nx = min(near_exact, n_dense)      # two-read near field
     ns2 = min(nx, n_safe)              # safe d2 steps
     ns1 = max(nx, min(n_dense, n_safe))  # end of safe d1 steps
+    if ns1 < n_dense:
+        # keep d1 pair parity GLOBAL across the safe/masked boundary (a
+        # pair never straddles it) so results match the XLA sweep's paired
+        # interior updates exactly; costs at most one extra masked step
+        ns1 = nx + ((ns1 - nx) // 2) * 2
 
     if shadow:
         # Per-cell lattice coordinates for the per-sun ray-slope field
@@ -623,6 +628,18 @@ def _build_metas(schedule, t0, t1, step):
     return levels_meta, phases_meta
 
 
+def _vmem_limit(levels_meta, t0, t1, a_chunk, n_tensors=4):
+    """Scoped-VMEM budget for the kernel: window + pooled scratch, the
+    double-buffered in/out blocks, plus ~4 MiB headroom for roll slabs and
+    fused temporaries.  The compiler's 16 MiB default rejects deep-schedule
+    cases (the 2 m workflow has 11 mip levels, each with a ~460-cell
+    marching halo); v5e/v5p physical VMEM is 128 MiB, so sizing the limit
+    from the real footprint is safe."""
+    scratch = sum(m[2] * m[3] + m[4] * m[5] for m in levels_meta) * 4
+    blocks = 2 * (n_tensors * t0 * t1 + a_chunk * t0 * t1) * 4
+    return min(int(scratch + blocks + (4 << 20)), 100 << 20)
+
+
 def default_a_chunk(azim_num, t0, t1):
     """Azimuths per grid step: budget the VMEM output block (a_chunk, t0,
     t1) at ~1 MiB — the real chip's 16 MiB scoped-vmem limit is otherwise
@@ -744,10 +761,19 @@ def horizon_sweep_pallas(z_outer, *, dx, dy, offset, inner_shape, azim_num,
     return _pallas_hz(cfg, z_outer, tilt_ramp)
 
 
+#: Extra sentinel margins (lo, hi_rows, hi_cols) the Pallas kernel needs
+#: around each pyramid level beyond the schedule pad: low +4 keeps window
+#: DMA starts >= 0; highs cover the aligned-slab roll margins (rows: +16
+#: slab margin + 8 round-up; cols: +256 slab margin + 128 round-up + 128
+#: aligned in-kernel read margin).
+LEVEL_PAD_EXTRA = (4, 56, 776)
+
+
 def pallas_forward_fn(z_outer, tilt_ramp, tile_map, shard_off, *,
                       levels_meta, phases_meta, pads, tile, a_chunk, a_num,
                       n_az_out, offset, inner_shape, dx, dy, step, dist,
-                      near_ex, n_safe, ray_org_elev, elev_lims, interpret):
+                      near_ex, n_safe, ray_org_elev, elev_lims, interpret,
+                      pyramid=None):
     """Unjitted fused forward: mip pyramid + padding + Pallas sweep + arctan.
 
     Safe to embed in ``shard_map`` (the jitted single-device entry is
@@ -757,6 +783,13 @@ def pallas_forward_fn(z_outer, tilt_ramp, tile_map, shard_off, *,
     *global* azimuth count (sets the angle of azimuth index k);
     ``n_az_out`` the local number of azimuths computed here.
 
+    ``pyramid``: optional tuple of *pre-built padded* level arrays (each
+    with :data:`LEVEL_PAD_EXTRA` margins around the schedule pad), e.g. a
+    multi-resolution terrain where the far-field levels come from a coarse
+    grid (:func:`horayzon_tpu.ops.multires.combined_pyramid`) — then
+    ``z_outer`` is only the fine grid (inner + halo) and the search
+    distance may exceed its extent.
+
     Returns (n_az_out, in0, in1) float32 [radian] — azimuth leads so the
     per-azimuth store indexes the cheap leading dimension; callers
     transpose once at the end.
@@ -765,17 +798,17 @@ def pallas_forward_fn(z_outer, tilt_ramp, tile_map, shard_off, *,
     in0, in1 = inner_shape
     off0, off1 = offset
 
-    # Per-level arrays: low pad = schedule pad + 4 (window DMA start >= 0),
-    # high pads add the aligned-slab roll margins (rows: +16 slab margin
-    # + 8 round-up; cols: +256 slab margin + 128 round-up + 128 aligned
-    # in-kernel read margin).
-    levels = _mip.build_pyramid(z_outer, len(pads))
-    padded = []
-    for lvl, z_l in enumerate(levels):
-        lo = pads[lvl] + 4
-        padded.append(jnp.pad(
-            z_l, ((lo, pads[lvl] + 56), (lo, pads[lvl] + 776)),
-            constant_values=_mip.PAD_VALUE))
+    if pyramid is None:
+        levels = _mip.build_pyramid(z_outer, len(pads))
+        lo_e, hi_r, hi_c = LEVEL_PAD_EXTRA
+        padded = []
+        for lvl, z_l in enumerate(levels):
+            padded.append(jnp.pad(
+                z_l, ((pads[lvl] + lo_e, pads[lvl] + hi_r),
+                      (pads[lvl] + lo_e, pads[lvl] + hi_c)),
+                constant_values=_mip.PAD_VALUE))
+    else:
+        padded = list(pyramid)
     pooled = _pool8(padded, levels_meta)
 
     z_inner = lax.dynamic_slice(
@@ -824,6 +857,9 @@ def pallas_forward_fn(z_outer, tilt_ramp, tile_map, shard_off, *,
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_az_out, in0, in1), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit(levels_meta, t0, t1, a_chunk,
+                                         n_tensors=2 + 2 * len(ramp_args))),
         interpret=interpret,
     )(tile_map, shard_off, z_org, z_inner, *ramp_args, *padded, *pooled)
     return jnp.clip(jnp.arctan(out),
@@ -1075,6 +1111,8 @@ def shadow_forward_fn(z_outer, z_org_r, z_inner_r, sun_table, tile_map,
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_sun, in0, in1), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit(levels_meta, t0, t1, t_chunk)),
         interpret=interpret,
     )(tile_map, shard_off, z_org_r, z_inner_r, sun_table, *padded, *pooled)
 
