@@ -366,8 +366,23 @@ def horizon_shift_tables(schedule, azim, dx, dy, offset, u_xy=None,
     -------
     list of dict (one per phase) of (A, M/unroll, unroll) arrays:
         level 0:  ``i0, j0`` int32, ``fi, fj`` float32, ``s`` and
-                  ``s_start`` (= s - 2*step; < 0 disables the parabola).
+                  ``s_start`` (= s - 2*step; < 0 disables the parabola);
+                  d1 phases add ``q`` / ``t_lo`` — the paired interior-
+                  update flags (see below).
         level>0:  ``base_i, base_j, r_i, r_j`` int32, ``s`` float32.
+
+    d1 interior-update pairing
+    --------------------------
+    One-read (d1) steps are processed in pairs: the first step of a pair
+    only point-samples; the second also runs the interior parabola update
+    (through the pair's three endpoint samples) over BOTH trailing
+    intervals with ``t_lo = 0``.  A trailing odd step runs it over its own
+    interval only (``t_lo = step``).  This halves the interior updates and
+    — crucially — matches the fused Pallas kernel's ``d1_pair`` exactly,
+    so the two engines agree to float rounding even on rough terrain
+    where different 3-point fits diverge by degrees.  Pair parity is
+    GLOBAL (anchored at the first d1 step), so phase splits
+    (:func:`mark_safe_phases`) do not change results.
     """
     azim = np.asarray(azim, dtype=np.float64)
     a_num = azim.shape[0]
@@ -376,6 +391,16 @@ def horizon_shift_tables(schedule, azim, dx, dy, offset, u_xy=None,
         u_xy = np.stack([np.sin(azim), np.cos(azim)], axis=-1)
     ux = np.asarray(u_xy[:, 0:1], dtype=np.float64)
     uy = np.asarray(u_xy[:, 1:2], dtype=np.float64)
+
+    # Global d1 pairing anchors: nx_g = last d2 step index, m_max = last
+    # dense step index (derived from the s values so phase splits keep the
+    # same flags).
+    d1_m = [np.round(np.asarray(s, np.float64) / schedule.step)
+            .astype(np.int64)
+            for ph, s in zip(schedule.phases, schedule.s_values)
+            if ph.kind == "d1"]
+    nx_g = int(d1_m[0][0]) - 1 if d1_m else 0
+    m_max_g = int(d1_m[-1][-1]) if d1_m else 0
 
     def dense_entry(sv, pad, prefix=""):
         di = sv * uy / dy
@@ -411,6 +436,16 @@ def horizon_shift_tables(schedule, azim, dx, dy, offset, u_xy=None,
             entry["s_start"] = np.broadcast_to(
                 s64 - 2.0 * schedule.step,
                 (a_num, len(s))).astype(np.float32)
+            # Paired interior-update flags (global parity; see docstring)
+            m_idx = np.round(s64 / schedule.step).astype(np.int64)
+            q = ((m_idx - nx_g) % 2 == 0).astype(np.float32)
+            t_lo = np.zeros_like(q)
+            if (m_max_g - nx_g) % 2 == 1:
+                last = m_idx == m_max_g
+                q = np.where(last, np.float32(1.0), q)
+                t_lo = np.where(last, np.float32(schedule.step), t_lo)
+            entry["q"] = q.astype(np.float32)
+            entry["t_lo"] = t_lo.astype(np.float32)
         else:
             k = 2 ** phase.level
             di = s64 * uy / dy
@@ -583,8 +618,9 @@ def horizon_core_fn(z_outer, z_org, z_inner, geom, tables, trig, *,
                 (ratio, dist, h1, h2, v1, v2), _ = lax.scan(body2, carry,
                                                             ph)
             elif kind == "d1":
-                # Mid field: one read per step; parabola through the last
-                # three samples, maximised over the trailing interval
+                # Mid field: one read per step; interior parabola updates
+                # run on PAIRED steps only (flags ``q``/``t_lo`` — see
+                # horizon_shift_tables), matching the Pallas d1_pair.
                 def body1(c, x, mask_of=mask_of):
                     ratio, dist, h1, h2, v1, v2 = c
                     for u in range(x["s"].shape[-1]):
@@ -603,8 +639,9 @@ def horizon_core_fn(z_outer, z_org, z_inner, geom, tables, trig, *,
                         a_c, b_c = _segment_quad_coeffs(h2, h1, he, length)
                         t, valid = _segment_interior_t(
                             a_c, b_c, h2, z_org, s_start, length,
-                            t_lo=0.5 * length)
-                        valid = valid & v2 & v1 & v_end
+                            t_lo=x["t_lo"][..., u])
+                        valid = valid & v2 & v1 & v_end \
+                            & (x["q"][..., u] > 0.5)
                         ratio, dist = interior_update(
                             ratio, dist, a_c, b_c, h2, t, valid, s_start)
                         h2, v2 = h1, v1

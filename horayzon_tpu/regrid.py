@@ -27,7 +27,6 @@ import dataclasses
 
 import numpy as np
 
-from horayzon_tpu.ops import mip as _mip
 from horayzon_tpu.terrain import GridSpec
 
 
@@ -35,7 +34,7 @@ from horayzon_tpu.terrain import GridSpec
 class PlanarizedGrid:
     """Regular-grid resampling of a curved ENU mesh."""
     grid: GridSpec            # regular lattice (x0, y0, dx, dy, shape)
-    z: np.ndarray             # (Hr, Wr) float32 ENU z; sentinel outside
+    z: np.ndarray             # (Hr, Wr) float32 ENU z; clamp-to-edge outside
     valid: np.ndarray         # (Hr, Wr) bool: inside the source mesh
     fi: np.ndarray            # (Hr, Wr) float64 source fractional row index
     fj: np.ndarray            # (Hr, Wr) float64 source fractional col index
@@ -188,8 +187,15 @@ def planarize(x_enu, y_enu, z_enu, target_spacing=None):
         y_start = y_lo
     xt, yt = np.meshgrid(x_axis, y_axis)
     fi, fj, ok = invert_mapping(x_enu, y_enu, xt, yt)
-    z_res = _bilinear(z_enu, fi, fj)
-    z_res = np.where(ok, z_res, _mip.PAD_VALUE).astype(np.float32)
+    # Out-of-hull lattice cells (the corner wedges of the warped mesh's
+    # bounding box) keep the clamp-to-edge bilinear value rather than a
+    # sentinel: a sentinel *inside* the lattice passes the sweep's
+    # geometric in-domain masks, and a dense-phase parabola fitted through
+    # the resulting cliff fabricates phantom peaks several degrees high.
+    # Clamp-to-edge terrain is smooth and matches the reference's
+    # behaviour of rays simply leaving the scene (horizon_comp.cpp: Embree
+    # returns no hit past the mesh).  ``valid`` still records the hull.
+    z_res = _bilinear(z_enu, fi, fj).astype(np.float32)
     grid = GridSpec(x0=x0, y0=y_start, dx=target_spacing, dy=dy,
                     shape=(hr, wr))
     return PlanarizedGrid(grid=grid, z=z_res, valid=ok, fi=fi, fj=fj)
