@@ -124,6 +124,14 @@ def _kernel(tmap_ref, soff_ref, z_org_ref, z_inner_ref, *refs, levels_meta,
     if shadow:
         sun_ref = refs[0]
         refs = refs[1:]
+    else:
+        # (a_num, 2) SMEM table of (sin az, cos az) in float32: indices of
+        # mip samples must be bitwise identical to the XLA sweep's host
+        # tables — in-kernel transcendentals are only ~1 ulp accurate, and
+        # a 1-ulp shift across a round() boundary reads the neighbouring
+        # max-pooled block (up to the inter-block relief in height).
+        trig_ref = refs[0]
+        refs = refs[1:]
     ramp_refs = None
     if mode == "horizon_tilt":
         # Curved-Earth fast path: per-(cell, azimuth) ratio offset
@@ -253,9 +261,8 @@ def _kernel(tmap_ref, soff_ref, z_org_ref, z_inner_ref, *refs, levels_meta,
             m = (szr / mag) / jnp.maximum(adv, 1.0e-4)
         else:
             k_glob = soff_ref[2] + ak * a_chunk + k_local
-            phi = (2.0 * np.pi / a_num) * k_glob.astype(jnp.float32)
-            ux = jnp.sin(phi)
-            uy = jnp.cos(phi)
+            ux = trig_ref[k_glob, 0]
+            uy = trig_ref[k_glob, 1]
             sh_i = uy / dy   # row cells per metre
             sh_j = ux / dx
 
@@ -643,10 +650,23 @@ def _vmem_limit(levels_meta, t0, t1, a_chunk, n_tensors=4):
 def default_a_chunk(azim_num, t0, t1):
     """Azimuths per grid step: budget the VMEM output block (a_chunk, t0,
     t1) at ~1 MiB — the real chip's 16 MiB scoped-vmem limit is otherwise
-    exceeded at t1=512 (window slabs + roll scratch take the rest)."""
-    a_chunk = min(azim_num, max(1, (1 << 20) // (t0 * t1 * 4)))
+    exceeded at t1=512 (window slabs + roll scratch take the rest).
+
+    ``a_chunk`` must divide ``azim_num``; an azimuth count with no small
+    divisors (e.g. a prime) forces ``a_chunk`` far below the VMEM budget
+    and multiplies azimuth grid steps (each re-runs the per-tile setup) —
+    warn so callers can pick a friendlier count or pass ``a_chunk``."""
+    budget = min(azim_num, max(1, (1 << 20) // (t0 * t1 * 4)))
+    a_chunk = budget
     while azim_num % a_chunk:
         a_chunk -= 1
+    if a_chunk * 2 <= budget and azim_num > a_chunk:
+        import warnings
+        warnings.warn(
+            f"azim_num={azim_num} has no divisor near the VMEM budget "
+            f"({budget}); using a_chunk={a_chunk}, which multiplies "
+            f"azimuth grid steps.  Prefer an azim_num divisible by "
+            f"{budget} (or pass a_chunk explicitly).", stacklevel=2)
     return a_chunk
 
 
@@ -827,10 +847,19 @@ def pallas_forward_fn(z_outer, tilt_ramp, tile_map, shard_off, *,
         near_exact=near_ex, n_safe=n_safe,
         mode="horizon" if tilt_ramp is None else "horizon_tilt")
 
+    # Per-azimuth (sin, cos) table in f32: the host-side XLA tables and the
+    # kernel must derive mip sample indices from bit-identical trig (see
+    # _kernel).  Angles are the f32 azimuth_angles convention.
+    azim32 = ((2.0 * np.pi) / a_num * np.arange(a_num)).astype(np.float32)
+    trig = np.stack([np.sin(azim32.astype(np.float64)),
+                     np.cos(azim32.astype(np.float64))],
+                    axis=-1).astype(np.float32)
+
     tile_spec = pl.BlockSpec(
         (t0, t1), lambda ti, ak, tm, so: (tm[ti, 0], tm[ti, 1]),
         memory_space=pltpu.VMEM)
     in_specs = [tile_spec, tile_spec]                  # z_org, z_inner
+    in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM)]   # trig table
     ramp_args = ()
     if tilt_ramp is not None:
         in_specs += [tile_spec, tile_spec]             # ramp A, B
@@ -861,7 +890,8 @@ def pallas_forward_fn(z_outer, tilt_ramp, tile_map, shard_off, *,
             vmem_limit_bytes=_vmem_limit(levels_meta, t0, t1, a_chunk,
                                          n_tensors=2 + 2 * len(ramp_args))),
         interpret=interpret,
-    )(tile_map, shard_off, z_org, z_inner, *ramp_args, *padded, *pooled)
+    )(tile_map, shard_off, z_org, z_inner, jnp.asarray(trig),
+      *ramp_args, *padded, *pooled)
     return jnp.clip(jnp.arctan(out),
                     math.radians(elev_lims[0]),
                     math.radians(elev_lims[1]))

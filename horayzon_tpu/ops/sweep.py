@@ -448,19 +448,34 @@ def horizon_shift_tables(schedule, azim, dx, dy, offset, u_xy=None,
             entry["t_lo"] = t_lo.astype(np.float32)
         else:
             k = 2 ** phase.level
-            di = s64 * uy / dy
-            dj = s64 * ux / dx
-            ci = off0 + np.round(di).astype(np.int64)
-            cj = off1 + np.round(dj).astype(np.int64)
+            # Mip sample indices in FLOAT32, replicating the Pallas
+            # kernel's arithmetic bit-for-bit (s = s0 + m*step clamped to
+            # dist; shift = round(s * (u/d))): the round() is
+            # discontinuous, and a 1-ulp f32-vs-f64 difference at a
+            # boundary reads the neighbouring max-pooled block — which can
+            # differ by the whole inter-block relief on rough terrain.
+            s0 = np.float32(s[0])
+            st_l = np.float32(s[1] - s[0]) if len(s) > 1 else np.float32(1)
+            m_idx = np.arange(len(s), dtype=np.float32)
+            s32 = np.minimum(s0 + m_idx * st_l,
+                             np.float32(schedule.dist)).astype(np.float32)
+            sh_i = (uy.astype(np.float32)
+                    / np.float32(dy)).astype(np.float32)
+            sh_j = (ux.astype(np.float32)
+                    / np.float32(dx)).astype(np.float32)
+            di = np.round((s32[None, :] * sh_i).astype(np.float32))
+            dj = np.round((s32[None, :] * sh_j).astype(np.float32))
+            ci = off0 + di.astype(np.int64)
+            cj = off1 + dj.astype(np.int64)
             entry = {
                 "base_i": (ci // k + phase.pad).astype(np.int32),
                 "base_j": (cj // k + phase.pad).astype(np.int32),
                 "r_i": (ci % k).astype(np.int32),
                 "r_j": (cj % k).astype(np.int32),
-                "s": np.broadcast_to(s64, (a_num, len(s)))
+                "s": np.broadcast_to(s32[None, :], (a_num, len(s)))
                 .astype(np.float32),
-                "inv_s": np.broadcast_to(1.0 / s64, (a_num, len(s)))
-                .astype(np.float32),
+                "inv_s": np.broadcast_to(1.0 / s32[None, :].astype(
+                    np.float64), (a_num, len(s))).astype(np.float32),
             }
         entry = {k2: _pad_unroll(np.ascontiguousarray(
             np.broadcast_to(v, (a_num, v.shape[-1]))), unroll)
@@ -868,7 +883,25 @@ def shadow_metric_core_fn(z_outer, z_org, z_inner, m_slope, u_cells,
                                   inner_shape)
                     metric = jnp.maximum(metric, h - z_org - s * m_slope)
                 return metric, None
-            metric, _ = lax.scan(bodyl, metric, s_arr)
+
+            # Provably-safe phase skip (the XLA analog of the Pallas
+            # kernel's window-max early exit; shadow_comp.cpp:454-467's
+            # tfar semantics make far samples pointless for low sun over
+            # low terrain).  The phase can be skipped when either (a) no
+            # cell's metric can rise: the level's terrain maximum minus
+            # the smallest ray drop already loses to every current
+            # metric, or (b) every cell is already occluded (metric > 0
+            # is all the caller thresholds on).
+            z_top = jnp.max(zp)
+            s_first = s_arr[0, 0]
+            s_last = s_arr[-1, -1]
+            gain = z_top - z_org - jnp.minimum(s_first * m_slope,
+                                               s_last * m_slope)
+            skip = (jnp.max(gain - metric) <= 0.0) \
+                | (jnp.min(metric) > 0.0)
+            metric = lax.cond(
+                skip, lambda mm: mm,
+                lambda mm: lax.scan(bodyl, mm, s_arr)[0], metric)
     return metric
 
 

@@ -2,5 +2,7 @@
 # MIT License
 """Device meshes and sharded sweep entry points (multi-chip scaling)."""
 
+from horayzon_tpu.parallel import distributed
 from horayzon_tpu.parallel import mesh
 from horayzon_tpu.parallel import shard
+from horayzon_tpu.parallel.distributed import init_distributed

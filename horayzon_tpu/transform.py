@@ -9,8 +9,8 @@ rotation_matrix_glob2loc :490).
 
 These run once per dataset at preparation time, so they are implemented as
 vectorised NumPy in float64 (the reference likewise computes in ``double`` and
-casts outputs to float32 where appropriate).  Differentiable float32 JAX
-variants for on-device pipelines live in :mod:`horayzon_tpu.ops.transform_jax`.
+casts outputs to float32 where appropriate); float32 on-device precision would
+lose ~1 m at ECEF magnitudes, so no JAX variants are provided.
 """
 
 import numpy as np

@@ -63,3 +63,39 @@ def test_native_max_downsample2():
     from horayzon_tpu.ops import mip
     expect = np.asarray(mip.max_downsample2(z))
     np.testing.assert_allclose(out, expect)
+
+
+def test_bvh_baseline_matches_sweep():
+    """The measured BVH-CPU baseline (native/bvhbase.cpp) agrees with the
+    sweep engine within the TIN-vs-bilinear model difference, and its
+    warm-started ray accounting approaches the reference's ~2
+    rays/(cell, azimuth) at fine azimuth spacing
+    (horizon_comp.cpp:807-810)."""
+    from horayzon_tpu.native import bvhbase
+    from horayzon_tpu.ops import sweep
+
+    try:
+        bvhbase.get_lib()
+    except Exception:
+        pytest.skip("bvhbase build failed")
+
+    z = gaussian_bumps_terrain(192, 192, seed=11, amp=500.0)
+    dx = 25.0
+    halo, inner = 80, 32
+    azim_num = 16
+    hori, n_rays, _, _ = bvhbase.horizon_rays(
+        z, dx, -dx, (halo, halo), (inner, inner), azim_num, 1800.0,
+        hori_acc=0.25)
+    azim = (2 * np.pi / azim_num) * np.arange(azim_num)
+    h_x, _ = sweep.horizon_sweep(
+        z, dx=dx, dy=-dx, offset=(halo, halo), inner_shape=(inner, inner),
+        azim=azim, dist_search=1800.0, hori_acc=0.25)
+    d = np.rad2deg(np.abs(np.asarray(h_x) - hori))
+    assert d.max() < 1.0, f"BVH vs sweep max {d.max():.3f} deg"
+    assert np.percentile(d, 99) < 0.5
+
+    # fine azimuth spacing -> the warm start converges to ~2 rays
+    _, n_rays_360, _, _ = bvhbase.horizon_rays(
+        z, dx, -dx, (halo, halo), (8, 8), 360, 1800.0, hori_acc=0.25)
+    rpca = n_rays_360 / (8 * 8 * 360)
+    assert rpca < 4.0, f"rays/(cell*azim) at 360 azimuths: {rpca:.2f}"

@@ -35,14 +35,37 @@ def test_sharded_matches_single_device(terrain):
     np.testing.assert_allclose(out, ref, atol=1e-5)
 
 
-def test_sharded_8x1_mesh(terrain):
-    if len(jax.devices()) < 8:
-        pytest.skip("needs 8 virtual devices")
+@pytest.mark.parametrize("n_tile,n_azim", [(8, 1), (2, 4), (1, 8), (2, 2)])
+def test_sharded_mesh_shapes(terrain, n_tile, n_azim):
+    """Equality across (n_tile, n_azim) mesh shapes — the virtual stand-in
+    for multi-host layouts where the tile axis spans hosts."""
+    if len(jax.devices()) < n_tile * n_azim:
+        pytest.skip("needs enough virtual devices")
     azim = (2 * np.pi / 8) * np.arange(8)
     kw = dict(dx=25.0, dy=-25.0, offset=(16, 16), inner_shape=(32, 32),
               dist_search=500.0)
     ref = _single_device(terrain, azim, **kw)
-    mesh = pmesh.make_mesh(n_tile=8, n_azim=1)
+    mesh = pmesh.make_mesh(
+        n_tile=n_tile, n_azim=n_azim,
+        devices=jax.devices()[:n_tile * n_azim])
+    out = np.asarray(pshard.horizon_sweep_sharded(mesh, terrain, **kw,
+                                                  azim=azim))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_init_distributed_single_process(terrain):
+    """init_distributed with no cluster config is a pure mesh builder."""
+    from horayzon_tpu import parallel
+
+    n_dev = len(jax.devices())
+    if n_dev < 4:
+        pytest.skip("needs 4 virtual devices")
+    mesh = parallel.init_distributed(n_azim=2)
+    assert mesh.devices.shape == (n_dev // 2, 2)
+    azim = (2 * np.pi / 4) * np.arange(4)
+    kw = dict(dx=25.0, dy=-25.0, offset=(16, 16), inner_shape=(32, 32),
+              dist_search=500.0)
+    ref = _single_device(terrain, azim, **kw)
     out = np.asarray(pshard.horizon_sweep_sharded(mesh, terrain, **kw,
                                                   azim=azim))
     np.testing.assert_allclose(out, ref, atol=1e-5)
