@@ -272,16 +272,45 @@ def _tin_gridded(z, grid, vert_simp, num_vert_simp, tri_ind_simp,
     step = min(abs(grid.dx), abs(grid.dy))
     rel_err = _sweep_mod.default_rel_err(hori_acc)
     schedule = _sweep_mod.build_schedule(step, dist_search_m, rel_err)
-    while ratio_log2 > 1:
+
+    # Decide the engine first: the Pallas path pads the inner domain to
+    # tile multiples, which shrinks the fine halo, so the ratio-reduction
+    # validation must run against the shape the engine will actually use.
+    pl_shape = None
+    if engine in ("auto", "pallas"):
+        pl_shape = _pallas_padded_shape(z.shape, offset, inner_shape)
+    if engine == "pallas" and pl_shape is None:
+        raise ValueError("engine='pallas' requires room in the outer grid "
+                         "to pad the inner domain to tile multiples")
+    use_pallas = (pl_shape is not None
+                  and (engine == "pallas"
+                       or (engine == "auto" and _on_tpu())))
+
+    def reduce_ratio(r0, shape):
+        r = r0
+        while r > 1:
+            try:
+                _multires._validate_fine_halo(schedule, r, step, offset,
+                                              shape, z.shape)
+                return r
+            except ValueError:
+                r -= 1
+        _multires._validate_fine_halo(schedule, 1, step, offset, shape,
+                                      z.shape)
+        return 1
+
+    if use_pallas:
         try:
-            _multires._validate_fine_halo(schedule, ratio_log2, step,
-                                          offset, inner_shape, z.shape)
-            break
+            ratio_log2 = reduce_ratio(ratio_log2, pl_shape[0])
         except ValueError:
-            ratio_log2 -= 1
-    # ratio 1 failing raises with the halo explanation (never silent)
-    _multires._validate_fine_halo(schedule, 1, step, offset, inner_shape,
-                                  z.shape)
+            if engine == "pallas":
+                raise
+            # auto: the padded halo is too small even at ratio 1 — fall
+            # back to the XLA sweep (unpadded), which may still fit.
+            use_pallas = False
+    if not use_pallas:
+        # raises with the halo explanation if even ratio 1 fails
+        ratio_log2 = reduce_ratio(ratio_log2, inner_shape)
 
     z_coarse, coarse_offset = _multires.coarse_grid_from_tin(
         verts, tris, grid=grid, fine_shape=z.shape, z_fine=z,
@@ -292,11 +321,7 @@ def _tin_gridded(z, grid, vert_simp, num_vert_simp, tri_ind_simp,
               dist_search=dist_search_m, hori_acc=hori_acc,
               elev_ang_low_lim=elev_ang_low_lim,
               ray_org_elev=ray_org_elev)
-    pl_shape = None
-    if engine in ("auto", "pallas"):
-        pl_shape = _pallas_padded_shape(z.shape, offset, inner_shape)
-    if pl_shape is not None and (engine == "pallas"
-                                 or (engine == "auto" and _on_tpu())):
+    if use_pallas:
         (in0p, in1p), tile = pl_shape
         mask_pad = None
         if mask is not None:

@@ -13,11 +13,14 @@ build seconds, trace seconds).
 
 import ctypes
 import os
-import subprocess
 import threading
 import time
 
 import numpy as np
+
+from horayzon_tpu.native.buildlib import NativeBuildError, ensure_built
+
+__all__ = ["NativeBuildError", "get_lib", "horizon_rays"]
 
 _LOCK = threading.Lock()
 _LIB = None
@@ -26,28 +29,12 @@ _SRC = os.path.join(_HERE, "bvhbase.cpp")
 _SO = os.path.join(_HERE, "_bvhbase.so")
 
 
-class NativeBuildError(RuntimeError):
-    pass
-
-
-def _build():
-    cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-           "-pthread", _SRC, "-o", _SO]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True, text=True)
-    except (subprocess.CalledProcessError, FileNotFoundError) as exc:
-        msg = getattr(exc, "stderr", str(exc))
-        raise NativeBuildError(f"building bvhbase failed: {msg}") from exc
-
-
 def get_lib():
     global _LIB
     with _LOCK:
         if _LIB is not None:
             return _LIB
-        if (not os.path.isfile(_SO)
-                or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
-            _build()
+        ensure_built(_SRC, _SO)
         lib = ctypes.CDLL(_SO)
         lib.bvh_build.restype = ctypes.c_void_p
         lib.bvh_build.argtypes = [

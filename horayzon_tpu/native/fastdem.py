@@ -9,10 +9,14 @@ compiler only costs performance, never functionality.
 
 import ctypes
 import os
-import subprocess
 import threading
 
 import numpy as np
+
+from horayzon_tpu.native.buildlib import NativeBuildError, ensure_built
+
+__all__ = ["NativeBuildError", "get_lib", "load_esri_ascii",
+           "horizon_march", "shadow_march", "max_downsample2"]
 
 _LOCK = threading.Lock()
 _LIB = None
@@ -21,29 +25,13 @@ _SRC = os.path.join(_HERE, "fastdem.cpp")
 _SO = os.path.join(_HERE, "_fastdem.so")
 
 
-class NativeBuildError(RuntimeError):
-    pass
-
-
-def _build():
-    cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-           "-pthread", _SRC, "-o", _SO]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True, text=True)
-    except (subprocess.CalledProcessError, FileNotFoundError) as exc:
-        msg = getattr(exc, "stderr", str(exc))
-        raise NativeBuildError(f"building fastdem failed: {msg}") from exc
-
-
 def get_lib():
     """Load (building if necessary) the native library."""
     global _LIB
     with _LOCK:
         if _LIB is not None:
             return _LIB
-        if (not os.path.isfile(_SO)
-                or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
-            _build()
+        ensure_built(_SRC, _SO)
         lib = ctypes.CDLL(_SO)
         lib.load_esri_ascii.restype = ctypes.c_long
         lib.load_esri_ascii.argtypes = [

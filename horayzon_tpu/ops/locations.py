@@ -21,6 +21,14 @@ from horayzon_tpu.ops import sweep as _sweep
 
 _NEG = -3.0e38
 
+#: Memory guard for the dense (L, A, M) phase temporaries: locations are
+#: processed in chunks so no single gather array exceeds this many f32
+#: elements (32 Mi elements = 128 MiB/array; ~6 such temporaries live at
+#: once).  The reference only ever runs dozens of locations (TBB over
+#: locations, horizon_comp.cpp:926-931); this keeps thousands of locations
+#: within bounded memory instead of silently blowing up.
+MAX_GATHER_ELEMS = 32 * 2 ** 20
+
 
 def _bilinear_gather(z, fi, fj):
     """Bilinear sample of (H, W) array at fractional indices (any shape)."""
@@ -128,11 +136,44 @@ def horizon_locations_sweep(z, grid, coords, vec_norm, vec_north, azim,
     trig = (jnp.asarray(np.sin(azim), dtype=jnp.float32),
             jnp.asarray(np.cos(azim), dtype=jnp.float32))
     h, w = z.shape
-    return _locations_core(
-        tuple(levels), tuple(jnp.asarray(s) for s in schedule.s_values),
-        jnp.asarray(coords, dtype=jnp.float32), basis,
-        jnp.asarray(ray_org_elev, dtype=jnp.float32), trig,
-        sched_meta=schedule.meta(),
-        grid_meta=(grid.x0, grid.y0, grid.dx, grid.dy, h, w),
-        elev_bounds=(math.radians(elev_ang_low_lim),
-                     math.radians(elev_ang_up_lim)))
+    s_phases = tuple(jnp.asarray(s) for s in schedule.s_values)
+    coords = np.asarray(coords, dtype=np.float32)
+    ray_org_elev = np.atleast_1d(np.asarray(ray_org_elev, dtype=np.float32))
+    kw = dict(sched_meta=schedule.meta(),
+              grid_meta=(grid.x0, grid.y0, grid.dx, grid.dy, h, w),
+              elev_bounds=(math.radians(elev_ang_low_lim),
+                           math.radians(elev_ang_up_lim)))
+
+    num_loc = coords.shape[0]
+    a_num = len(azim)
+    m_max = max(len(s) for s in schedule.s_values)
+    chunk = max(1, MAX_GATHER_ELEMS // max(a_num * m_max, 1))
+    if num_loc <= chunk:
+        return _locations_core(tuple(levels), s_phases,
+                               jnp.asarray(coords), basis,
+                               jnp.asarray(ray_org_elev), trig, **kw)
+
+    # Chunk over locations within the memory budget; pad the tail chunk so
+    # every call shares one compiled executable.
+    if len(ray_org_elev) == 1:
+        ray_org_elev = np.repeat(ray_org_elev, num_loc)
+    east_np, north_np, norm_np = (np.asarray(b) for b in basis)
+    hori_parts, dist_parts = [], []
+    for lo_i in range(0, num_loc, chunk):
+        hi_i = min(lo_i + chunk, num_loc)
+        pad = chunk - (hi_i - lo_i)
+
+        def tail_pad(a):
+            return np.concatenate(
+                [a[lo_i:hi_i], np.repeat(a[hi_i - 1:hi_i], pad, axis=0)]) \
+                if pad else a[lo_i:hi_i]
+
+        basis_c = tuple(jnp.asarray(tail_pad(b))
+                        for b in (east_np, north_np, norm_np))
+        hori_c, dist_c = _locations_core(
+            tuple(levels), s_phases, jnp.asarray(tail_pad(coords)),
+            basis_c, jnp.asarray(tail_pad(ray_org_elev)), trig, **kw)
+        hori_parts.append(hori_c[:hi_i - lo_i])
+        dist_parts.append(dist_c[:hi_i - lo_i])
+    return (jnp.concatenate(hori_parts, axis=0),
+            jnp.concatenate(dist_parts, axis=0))

@@ -228,17 +228,29 @@ def coarse_grid_from_tin(vert_simp, tri_ind_simp, *, grid, fine_shape,
     n_i = (hf + r - 1) // r + 2 * pad_c
     n_j = (wf + r - 1) // r + 2 * pad_c
     oi = oj = pad_c * r                     # fine cell 0 at coarse pad_c
-    # Sample the TIN at the coarse block corners and centres; keep the max
-    # (the mip convention is block maxima).
+    # The mip convention is block *maxima* (a lower coarse value could hide
+    # far-field terrain).  Two ingredients approach the TIN's true
+    # per-cell maximum from below within a tight bound:
+    # (a) rasterise at `sub` x the coarse resolution and max-pool, which
+    #     bounds the residual by the TIN gradient times the sub-cell size;
+    # (b) scatter the TIN's own vertices (where piecewise-linear maxima
+    #     live) into their containing cells.
     corner = (grid.x0 - oj * grid.dx, grid.y0 - oi * grid.dy)
-    z_a = rasterize_tin(vert_simp, tri_ind_simp, origin_xy=corner,
-                        spacing_xy=(grid.dx * r, grid.dy * r),
-                        shape=(n_i, n_j))
-    centre = (corner[0] + 0.5 * r * grid.dx, corner[1] + 0.5 * r * grid.dy)
-    z_b = rasterize_tin(vert_simp, tri_ind_simp, origin_xy=centre,
-                        spacing_xy=(grid.dx * r, grid.dy * r),
-                        shape=(n_i, n_j))
-    z_coarse = np.maximum(z_a, z_b)
+    sub = min(r, 4)
+    while sub > 1 and (n_i * sub) * (n_j * sub) > 2 * 10 ** 8:
+        sub //= 2                            # cap host raster memory
+    z_s = rasterize_tin(vert_simp, tri_ind_simp, origin_xy=corner,
+                        spacing_xy=(grid.dx * r / sub, grid.dy * r / sub),
+                        shape=(n_i * sub, n_j * sub))
+    z_coarse = z_s.reshape(n_i, sub, n_j, sub).max(axis=(1, 3))
+    verts3 = np.asarray(vert_simp, dtype=np.float64).reshape(-1, 3)
+    tris3 = np.asarray(tri_ind_simp, dtype=np.int64).reshape(-1)
+    used = verts3[np.unique(tris3)]
+    ci_v = np.floor((used[:, 1] - corner[1]) / (grid.dy * r)).astype(int)
+    cj_v = np.floor((used[:, 0] - corner[0]) / (grid.dx * r)).astype(int)
+    ok = (ci_v >= 0) & (ci_v < n_i) & (cj_v >= 0) & (cj_v < n_j)
+    np.maximum.at(z_coarse, (ci_v[ok], cj_v[ok]),
+                  used[ok, 2].astype(np.float32))
     # overlay the fine grid's own max-pooled blocks (exact where known)
     hp = hf - hf % r
     wp = wf - wf % r

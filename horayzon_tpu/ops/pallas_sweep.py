@@ -789,6 +789,29 @@ def horizon_sweep_pallas(z_outer, *, dx, dy, offset, inner_shape, azim_num,
 LEVEL_PAD_EXTRA = (4, 56, 776)
 
 
+def build_padded_pyramid(z_outer, pads, levels_meta):
+    """Mip pyramid with the kernel's sentinel margins, plus the 8x8
+    max-pooled companions feeding the directional early exit.
+
+    Initialise-once helper (the reference builds its BVH once in
+    ``CppTerrain::initialise``, shadow_comp.cpp:318-380): callers that
+    query many times — :class:`horayzon_tpu.shadow.Terrain` — build this
+    once and pass it to every kernel invocation via ``pyramid=``/
+    ``pooled=``, leaving only DMAs and the sweep as per-query work.
+
+    Returns ``(padded, pooled)`` lists of jnp arrays (one per level).
+    """
+    levels = _mip.build_pyramid(z_outer, len(pads))
+    lo_e, hi_r, hi_c = LEVEL_PAD_EXTRA
+    padded = []
+    for lvl, z_l in enumerate(levels):
+        padded.append(jnp.pad(
+            z_l, ((pads[lvl] + lo_e, pads[lvl] + hi_r),
+                  (pads[lvl] + lo_e, pads[lvl] + hi_c)),
+            constant_values=_mip.PAD_VALUE))
+    return padded, _pool8(padded, levels_meta)
+
+
 def pallas_forward_fn(z_outer, tilt_ramp, tile_map, shard_off, *,
                       levels_meta, phases_meta, pads, tile, a_chunk, a_num,
                       n_az_out, offset, inner_shape, dx, dy, step, dist,
@@ -819,17 +842,10 @@ def pallas_forward_fn(z_outer, tilt_ramp, tile_map, shard_off, *,
     off0, off1 = offset
 
     if pyramid is None:
-        levels = _mip.build_pyramid(z_outer, len(pads))
-        lo_e, hi_r, hi_c = LEVEL_PAD_EXTRA
-        padded = []
-        for lvl, z_l in enumerate(levels):
-            padded.append(jnp.pad(
-                z_l, ((pads[lvl] + lo_e, pads[lvl] + hi_r),
-                      (pads[lvl] + lo_e, pads[lvl] + hi_c)),
-                constant_values=_mip.PAD_VALUE))
+        padded, pooled = build_padded_pyramid(z_outer, pads, levels_meta)
     else:
         padded = list(pyramid)
-    pooled = _pool8(padded, levels_meta)
+        pooled = _pool8(padded, levels_meta)
 
     z_inner = lax.dynamic_slice(
         z_outer, (off0 + shard_off[0], off1 + shard_off[1]), (in0, in1))
@@ -953,7 +969,12 @@ def _hz_xla_equiv(cfg, z_outer, tilt_ramp):
     h_out, w_out = cfg.outer_shape
     halo = min(off0, off1, h_out - off0 - in0, w_out - off1 - in1)
     schedule = _sweep.mark_safe_phases(schedule, halo)
-    azim = (2.0 * np.pi / cfg.azim_num) * np.arange(cfg.azim_num)
+    # Match the kernel's f32 azimuth convention bit-for-bit (the SMEM trig
+    # table in pallas_forward_fn rounds angles to f32 before sin/cos; mip
+    # sample indices must come from identical trig or a round() boundary
+    # can flip to a neighbouring max-pooled block).
+    azim = ((2.0 * np.pi) / cfg.azim_num
+            * np.arange(cfg.azim_num)).astype(np.float32).astype(np.float64)
     tables_np = _sweep.horizon_shift_tables(schedule, azim, cfg.dx, cfg.dy,
                                             cfg.offset)
     tables = jax.tree_util.tree_map(jnp.asarray, tables_np)
@@ -1019,7 +1040,8 @@ def shadow_sun_table(sun_positions, center, dx, dy):
 def shadow_metric_pallas(z_outer, z_org_r, z_inner_r, sun_table, *,
                          schedule, offset, inner_shape, dx, dy,
                          grid_origin, tile=(128, 256), t_chunk=None,
-                         mask=None, interpret=False):
+                         mask=None, interpret=False,
+                         pyramid=None, pooled=None):
     """Batched shadow occlusion metric via the fused Pallas kernel.
 
     Returns (T, in0, in1) float32: max over the sun ray of
@@ -1073,32 +1095,38 @@ def shadow_metric_pallas(z_outer, z_org_r, z_inner_r, sun_table, *,
         dist=float(schedule.dist), near_ex=near_ex,
         n_safe=max(0, halo_cells - 2),
         grid_origin=(float(grid_origin[0]), float(grid_origin[1])),
-        interpret=interpret)
+        interpret=interpret,
+        pyramid=None if pyramid is None else tuple(pyramid),
+        pooled=None if pooled is None else tuple(pooled))
     return out[:num_sun]
 
 
 def shadow_forward_fn(z_outer, z_org_r, z_inner_r, sun_table, tile_map,
                       shard_off, *, levels_meta, phases_meta, pads, tile,
                       t_chunk, offset, inner_shape, dx, dy, step, dist,
-                      near_ex, n_safe, grid_origin, interpret):
+                      near_ex, n_safe, grid_origin, interpret,
+                      pyramid=None, pooled=None):
     """Unjitted fused shadow forward: pyramid + padding + Pallas kernel.
 
     Safe to embed in ``shard_map``; ``tile_map``/``shard_off`` as in
     :func:`pallas_forward_fn` (shard_off[2] is unused — the sun axis is
-    never sharded inside one call)."""
+    never sharded inside one call).  ``pyramid``/``pooled``: optional
+    pre-built padded levels and their 8x8-pooled companions (from
+    :func:`build_padded_pyramid`) so initialise-once callers skip the
+    per-query rebuild."""
     t0, t1 = tile
     in0, in1 = inner_shape
     off0, off1 = offset
     num_sun = sun_table.shape[0]
 
-    levels = _mip.build_pyramid(z_outer, len(pads))
-    padded = []
-    for lvl, z_l in enumerate(levels):
-        lo = pads[lvl] + 4
-        padded.append(jnp.pad(
-            z_l, ((lo, pads[lvl] + 56), (lo, pads[lvl] + 776)),
-            constant_values=_mip.PAD_VALUE))
-    pooled = _pool8(padded, levels_meta)
+    if pyramid is None:
+        padded, pooled = build_padded_pyramid(z_outer, pads, levels_meta)
+    else:
+        padded = list(pyramid)
+        if pooled is None:
+            pooled = _pool8(padded, levels_meta)
+        else:
+            pooled = list(pooled)
 
     grid = (tile_map.shape[0], num_sun // t_chunk)
 

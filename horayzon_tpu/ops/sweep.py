@@ -887,18 +887,19 @@ def shadow_metric_core_fn(z_outer, z_org, z_inner, m_slope, u_cells,
             # Provably-safe phase skip (the XLA analog of the Pallas
             # kernel's window-max early exit; shadow_comp.cpp:454-467's
             # tfar semantics make far samples pointless for low sun over
-            # low terrain).  The phase can be skipped when either (a) no
-            # cell's metric can rise: the level's terrain maximum minus
-            # the smallest ray drop already loses to every current
-            # metric, or (b) every cell is already occluded (metric > 0
-            # is all the caller thresholds on).
+            # low terrain).  The phase can be skipped when no cell's
+            # metric can rise: the level's terrain maximum minus the
+            # smallest ray drop already loses to every current metric.
+            # (An "every cell already occluded" arm would also preserve
+            # the sign, but its firing depends on the local domain, which
+            # breaks value equality between sharded and single-device
+            # runs — so only the exact bound is used.)
             z_top = jnp.max(zp)
             s_first = s_arr[0, 0]
             s_last = s_arr[-1, -1]
             gain = z_top - z_org - jnp.minimum(s_first * m_slope,
                                                s_last * m_slope)
-            skip = (jnp.max(gain - metric) <= 0.0) \
-                | (jnp.min(metric) > 0.0)
+            skip = jnp.max(gain - metric) <= 0.0
             metric = lax.cond(
                 skip, lambda mm: mm,
                 lambda mm: lax.scan(bodyl, mm, s_arr)[0], metric)

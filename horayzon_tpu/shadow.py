@@ -330,6 +330,18 @@ class Terrain:
             self._grid_origin = (float(comp_grid.x0), float(comp_grid.y0))
 
         self._z_outer = jnp.asarray(z_comp, dtype=jnp.float32)
+        if self.engine == "pallas":
+            # Initialise-once: build the padded mip pyramid and its pooled
+            # companions now (the reference builds its BVH once here,
+            # shadow_comp.cpp:318-380) so per-query work is DMA + sweep.
+            from horayzon_tpu.ops import pallas_sweep as _pallas
+            lm, _ = _pallas._build_metas(
+                self.schedule, self._pallas_tile[0], self._pallas_tile[1],
+                self.schedule.step)
+            padded, pooled = _pallas.build_padded_pyramid(
+                self._z_outer, self.schedule.pads, lm)
+            self._pallas_pyramid = tuple(padded)
+            self._pallas_pooled = tuple(pooled)
         fields = {
             "x_in": jnp.asarray(x_in),
             "y_in": jnp.asarray(y_in),
@@ -409,7 +421,8 @@ class Terrain:
             schedule=self.schedule, offset=self.offset,
             inner_shape=self._pallas_shape, dx=self.grid.dx,
             dy=self.grid.dy, grid_origin=self._grid_origin,
-            tile=self._pallas_tile, interpret=interpret)
+            tile=self._pallas_tile, interpret=interpret,
+            pyramid=self._pallas_pyramid, pooled=self._pallas_pooled)
         metric = metric[:, :self.comp_shape[0], :self.comp_shape[1]]
         occluded = jnp.logical_and(
             metric > 0.0,

@@ -72,3 +72,61 @@ def test_write_dataset_npz_and_nc_fallback(tmp_path=None):
         p2 = output.write_horizon(os.path.join(td, "h.nc"), hori, azim,
                                   x=x, y=y)
         assert os.path.exists(p2)
+
+
+def test_sun_track_runner_resumes_after_kill():
+    """A killed sun-track run keeps completed chunks and a restart only
+    computes the remaining ones (reference analogue: per-timestep NetCDF
+    appends, gridded_curved_DEM_SRTM.py:207-266)."""
+    from horayzon_tpu import auxiliary, shadow
+
+    z = gaussian_bumps_terrain(48, 48, seed=21, amp=400.0)
+    dx = 25.0
+    h, w = z.shape
+    off, in0, in1 = 8, 32, 32
+    x1 = np.arange(w, dtype=np.float32) * dx
+    y1 = -np.arange(h, dtype=np.float32) * dx
+    xx, yy = np.meshgrid(x1, y1)
+    vert_grid = auxiliary.rearrange_pad_buffer(xx, yy, z)
+    vec_norm = np.zeros((in0, in1, 3), dtype=np.float32)
+    vec_norm[..., 2] = 1.0
+    t = shadow.Terrain()
+    t.initialise(vert_grid, h, w, off, off, vec_norm.copy(), vec_norm,
+                 np.ones((in0, in1), dtype=np.float32),
+                 z[off:off + in0, off:off + in1],
+                 np.ones((in0, in1), dtype=np.uint8))
+
+    ang = np.linspace(0.2, 2.8, 7)
+    suns = np.stack([1e7 * np.cos(ang), 1e7 * np.sin(ang),
+                     2e6 + 1e6 * np.sin(ang)], axis=-1).astype(np.float32)
+    ref = t.sw_dir_cor_batch(suns)
+
+    with tempfile.TemporaryDirectory() as td:
+        runner = streaming.SunTrackRunner(t, suns, out_dir=td, chunk=3)
+
+        # Simulate a kill after the first chunk: raise inside the 2nd call
+        calls = {"n": 0}
+        orig = t.sw_dir_cor_batch
+
+        def dying(sp):
+            calls["n"] += 1
+            if calls["n"] >= 2:
+                raise KeyboardInterrupt
+            return orig(sp)
+
+        t.sw_dir_cor_batch = dying
+        try:
+            runner.run(verbose=False)
+        except KeyboardInterrupt:
+            pass
+        t.sw_dir_cor_batch = orig
+        done = [p for t0, _ in runner.chunks()
+                if os.path.exists(p := runner._chunk_path(t0))]
+        assert len(done) == 1           # first chunk survived the kill
+
+        # Restart: completed chunk untouched, remaining chunks computed
+        mtime0 = os.path.getmtime(done[0])
+        paths = runner.run(verbose=False)
+        assert os.path.getmtime(done[0]) == mtime0
+        assert all(os.path.exists(p) for p in paths)
+        np.testing.assert_allclose(runner.assemble(), ref, atol=1e-6)
