@@ -72,6 +72,12 @@ def main():
     ap.add_argument("--cpu-baseline", action="store_true", default=True)
     ap.add_argument("--no-cpu-baseline", dest="cpu_baseline",
                     action="store_false")
+    ap.add_argument("--mask-frac", type=float, default=0.8,
+                    help="masked fraction for the masked-domain row "
+                         "(0 disables)")
+    ap.add_argument("--azim-full", type=int, default=360,
+                    help="azimuth count for the full-azimuth row "
+                         "(0 disables; reference default is 360)")
     args = ap.parse_args()
 
     import jax
@@ -112,7 +118,7 @@ def main():
             times.append(time.perf_counter() - t0)
         return min(times), hori_mean
 
-    dt_xla, _ = time_engine(run_xla)
+    dt_xla, hori_mean_xla = time_engine(run_xla)
     try:
         dt_pl, hori_mean = time_engine(run_pallas)
     except Exception:
@@ -120,8 +126,7 @@ def main():
     if dt_pl is not None and dt_pl < dt_xla:
         dt, engine = dt_pl, "pallas"
     else:
-        dt, engine = dt_xla, "xla_sweep"
-        hori_mean = time_engine(run_xla)[1]
+        dt, engine, hori_mean = dt_xla, "xla_sweep", hori_mean_xla
 
     schedule = sweep.build_schedule(args.dx, args.dist * 1000.0,
                                     sweep.default_rel_err(args.acc))
@@ -151,6 +156,73 @@ def main():
         "engine": engine,
         "xla_sweep_wall_time_s": dt_xla,
     }
+
+    # Full-azimuth row (the reference default is azim_num=360,
+    # horizon.pyx:36; the headline row keeps 32 for continuity with
+    # earlier rounds).
+    if args.azim_full and engine == "pallas":
+        a_full = args.azim_full
+
+        def run_full():
+            return pallas_sweep.horizon_sweep_pallas(
+                z_dev, dx=args.dx, dy=-args.dx,
+                offset=(args.halo, args.halo), inner_shape=(in0, in1),
+                azim_num=a_full, dist_search=args.dist * 1000.0,
+                hori_acc=args.acc, tile=(128, 512))
+
+        float(jnp.mean(run_full()))        # compile + warm
+        times = []
+        for _ in range(args.iters):
+            t0 = time.perf_counter()
+            float(jnp.mean(run_full()))
+            times.append(time.perf_counter() - t0)
+        dt_full = min(times)
+        result["azim_full"] = a_full
+        result["azim_full_wall_time_s"] = dt_full
+        result["azim_full_rays_per_s"] = (
+            cells * a_full * REF_RAYS_PER_CELL_AZIM / dt_full)
+
+    # Masked-domain row: wall time must track the considered fraction
+    # (reference skips masked cells, horizon_comp.cpp:685-695,749; here
+    # fully-masked kernel tiles are never launched).
+    if args.mask_frac > 0 and engine == "pallas":
+        # Island-style mask: a disc covering (1 - mask_frac) of the domain
+        yy, xx = np.mgrid[0:in0, 0:in1]
+        cy0, cx0 = in0 * 0.45, in1 * 0.55
+        r_disc = np.sqrt((1.0 - args.mask_frac) * in0 * in1 / np.pi)
+        mask = ((yy - cy0) ** 2 + (xx - cx0) ** 2
+                <= r_disc ** 2).astype(np.uint8)
+        frac = float(mask.mean())
+        m_tile = (128, 256)
+        n_active = pallas_sweep.tile_schedule((in0, in1), m_tile,
+                                              mask).shape[0]
+        n_total = (in0 // m_tile[0]) * (in1 // m_tile[1])
+
+        def run_masked():
+            return pallas_sweep.horizon_sweep_pallas(
+                z_dev, dx=args.dx, dy=-args.dx,
+                offset=(args.halo, args.halo), inner_shape=(in0, in1),
+                azim_num=args.azim, dist_search=args.dist * 1000.0,
+                hori_acc=args.acc, tile=m_tile, mask=mask)
+
+        float(jnp.mean(run_masked()))      # compile + warm
+        times = []
+        for _ in range(args.iters):
+            t0 = time.perf_counter()
+            float(jnp.mean(run_masked()))
+            times.append(time.perf_counter() - t0)
+        dt_masked = min(times)
+        result["masked_considered_frac"] = frac
+        result["masked_active_tile_frac"] = n_active / n_total
+        result["masked_wall_time_s"] = dt_masked
+        result["masked_speedup"] = dt / dt_masked
+        result["masked_note"] = (
+            f"tile-skipping engine at tile={m_tile}: fully-masked tiles "
+            "are never launched, so wall time tracks the ACTIVE-TILE "
+            "fraction (disc masks overlap more tiles than their area "
+            "share; per-cell skipping inside active tiles would need "
+            "per-lane predication the reference's scalar loop gets for "
+            "free)")
 
     # Shadow benchmark: one sun position = one ray/cell in the reference
     # (shadow_comp.cpp:386-491).  A 16-sun track batches through the fused

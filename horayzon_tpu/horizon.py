@@ -52,6 +52,25 @@ def _on_tpu():
         or dev.platform == "tpu"
 
 
+def _mask_bbox(mask):
+    """Bounding box (r0, r1, c0, c1) of unmasked (== 1) cells; the whole
+    domain if every cell is unmasked, a 1x1 box if none is (callers fill
+    masked cells afterwards, so the value computed there is discarded)."""
+    rows = np.flatnonzero(np.asarray(mask).any(axis=1))
+    cols = np.flatnonzero(np.asarray(mask).any(axis=0))
+    if rows.size == 0:
+        return 0, 1, 0, 1
+    return rows[0], rows[-1] + 1, cols[0], cols[-1] + 1
+
+
+#: Measured per-cell wall-time of the fused kernel by lane-tile width,
+#: relative to t1=256 (tools/ablate_kernel.py --tile, one v5e chip, bench
+#: shape, round 3: 0.2211 s @ 256 vs 0.1832 s @ 512).  Wider tiles
+#: amortise the aligned-slab roll margins; the table trades that against
+#: computing extra padded columns.
+_LANE_TILE_COST = {256: 1.0, 512: 0.829}
+
+
 def _pallas_padded_shape(outer_shape, offset, inner_shape):
     """Inner shape padded up to Pallas tile multiples, or None if the outer
     grid has no room (padded cells are computed and discarded)."""
@@ -60,10 +79,8 @@ def _pallas_padded_shape(outer_shape, offset, inner_shape):
     in0, in1 = inner_shape
     t0 = 128 if in0 >= 128 else up(in0, 8)
     if in1 >= 256:
-        # Wider lane tiles amortise the roll slab better (measured ~0.87x
-        # per-cell cost at t1=512 vs 256 on v5e); weigh that against the
-        # extra padded columns.
-        t1 = 512 if up(in1, 512) * 0.87 <= up(in1, 256) else 256
+        t1 = min(_LANE_TILE_COST,
+                 key=lambda t: up(in1, t) * _LANE_TILE_COST[t])
     else:
         t1 = up(in1, 128)
     in0p, in1p = up(in0, t0), up(in1, t1)
@@ -167,7 +184,8 @@ def horizon_gridded(
                                offset_0, offset_1, azim,
                                dist_search * 1000.0, hori_acc,
                                elev_ang_low_lim, ray_org_elev,
-                               engine=engine)
+                               engine=engine,
+                               mask=mask if mask.min() == 0 else None)
     else:
         planar = _terrain.is_default_planar_vectors(vec_norm, vec_north)
         if planar:
@@ -214,12 +232,28 @@ def horizon_gridded(
                 ray_org_elev=ray_org_elev, tile=tile, mask=mask_pad)
             hori = hori[:inner_shape[0], :inner_shape[1]]
         else:
-            hori, _ = _sweep.horizon_sweep(
-                z, dx=grid.dx, dy=grid.dy, offset=(offset_0, offset_1),
-                inner_shape=inner_shape, azim=azim,
+            # Mask-driven work reduction (reference skips masked cells,
+            # horizon_comp.cpp:749): crop the sweep to the bounding box of
+            # unmasked cells; outside-bbox cells get hori_fill below.
+            r0, r1, c0, c1 = _mask_bbox(mask)
+            if geom is not None and (r0, r1, c0, c1) != (
+                    0, inner_shape[0], 0, inner_shape[1]):
+                geom_c = {k: v[r0:r1, c0:c1] for k, v in geom.items()}
+            else:
+                geom_c = geom
+            hori_c, _ = _sweep.horizon_sweep(
+                z, dx=grid.dx, dy=grid.dy,
+                offset=(offset_0 + r0, offset_1 + c0),
+                inner_shape=(r1 - r0, c1 - c0), azim=azim,
                 dist_search=dist_search * 1000.0,
                 hori_acc=hori_acc, elev_ang_low_lim=elev_ang_low_lim,
-                ray_org_elev=ray_org_elev, geom=geom, u_xy=u_xy)
+                ray_org_elev=ray_org_elev, geom=geom_c, u_xy=u_xy)
+            if (r0, r1, c0, c1) == (0, inner_shape[0], 0, inner_shape[1]):
+                hori = hori_c
+            else:
+                hori = np.full(inner_shape + (azim_num,),
+                               np.float32(hori_fill))
+                hori[r0:r1, c0:c1] = np.asarray(hori_c)
     if mask.min() == 0:
         m = jnp.asarray(mask[..., None] == 1)
         hori = jnp.where(m, hori, jnp.float32(hori_fill))
@@ -338,7 +372,7 @@ def _tin_gridded(z, grid, vert_simp, num_vert_simp, tri_ind_simp,
 
 def _curved_gridded(x, y, z, vec_norm, vec_north, offset_0, offset_1, azim,
                     dist_search_m, hori_acc, elev_ang_low_lim, ray_org_elev,
-                    engine="auto"):
+                    engine="auto", mask=None):
     """Curved-mesh gridded horizon: planarise -> general sweep -> sample back.
 
     The reference builds an Embree BVH directly over the irregular ENU
@@ -364,11 +398,20 @@ def _curved_gridded(x, y, z, vec_norm, vec_north, offset_0, offset_1, azim,
     y_in = y[offset_0:offset_0 + in0, offset_1:offset_1 + in1]
     fi_in, fj_in = pg.to_regular_indices(x_in, y_in)
 
-    # Regular-lattice inner superset (bounding box + 1-cell margin)
-    i_lo = max(int(np.floor(fi_in.min())) - 1, 0)
-    i_hi = min(int(np.ceil(fi_in.max())) + 2, hr)
-    j_lo = max(int(np.floor(fj_in.min())) - 1, 0)
-    j_hi = min(int(np.ceil(fj_in.max())) + 2, wr)
+    # Regular-lattice inner superset (bounding box + 1-cell margin).  With
+    # a mask, only unmasked cells bound the box (the reference skips
+    # masked cells per-cell, horizon_comp.cpp:749; here the sweep shrinks
+    # to the unmasked bounding box and masked cells outside it read
+    # clipped values that the caller overwrites with hori_fill).
+    if mask is not None and (mask == 1).any():
+        sel = mask == 1
+        fi_b, fj_b = fi_in[sel], fj_in[sel]
+    else:
+        fi_b, fj_b = fi_in, fj_in
+    i_lo = max(int(np.floor(fi_b.min())) - 1, 0)
+    i_hi = min(int(np.ceil(fi_b.max())) + 2, hr)
+    j_lo = max(int(np.floor(fj_b.min())) - 1, 0)
+    j_hi = min(int(np.ceil(fj_b.max())) + 2, wr)
     rin0 = i_hi - i_lo
     rin1 = j_hi - j_lo
 
@@ -420,9 +463,12 @@ def _curved_gridded(x, y, z, vec_norm, vec_north, offset_0, offset_1, azim,
             ray_org_elev=ray_org_elev, geom=geom, u_xy=u_xy)
         hori_r = np.asarray(hori_r)
 
-    # Sample back at the original cell positions
+    # Sample back at the original cell positions (masked cells may fall
+    # outside the reduced box — clip; their values are replaced by
+    # hori_fill in horizon_gridded)
     out = _regrid._bilinear(hori_r.astype(np.float64),
-                            fi_in - i_lo, fj_in - j_lo)
+                            np.clip(fi_in - i_lo, 0.0, rin0 - 1.0),
+                            np.clip(fj_in - j_lo, 0.0, rin1 - 1.0))
     return jnp.asarray(out.astype(np.float32))
 
 

@@ -39,6 +39,16 @@ from horayzon_tpu.ops import sweep as _sweep
 _NEG_INIT = -3.0e38
 _DEN_EPS = 1.0e-6
 
+#: Profiling-only ablation flags (static: consulted at trace time, so each
+#: setting compiles a different kernel).  Used by tools/ablate_kernel.py to
+#: attribute kernel time to its components on real hardware; NEVER set in
+#: production (most flags produce wrong results by design).  Flags:
+#: "no_roll" (skip the dynamic rolls in shifted reads; "no_roll0"/
+#: "no_roll1" per axis), "no_quad" (skip interior parabola updates),
+#: "no_mip" (skip far-field phases), "no_skip" (disable early exits),
+#: "one_read" (d1 pairs reuse the first read).
+_ABLATE = frozenset()
+
 
 def _round_up(x, m):
     return ((x + m - 1) // m) * m
@@ -60,6 +70,32 @@ def _pool8(padded, levels_meta):
         pooled.append(jnp.pad(pw, ((0, psz0 + 8), (0, psz1 + 128)),
                               constant_values=_mip.PAD_VALUE))
     return pooled
+
+
+#: Mip strip-chunk parameters: a chunk of up to _STRIP_GK/k consecutive
+#: mip steps shares one fine-resolution upsampled strip (built with two
+#: one-hot matmuls), so the per-step work drops to a dense-style shifted
+#: read.  Levels coarser than _STRIP_KMAX use the per-step path (their
+#: strips would not fit VMEM; such phases are rare and short).
+_STRIP_GK = 64
+_STRIP_KMAX = 16
+
+
+def _strip_scratch_shape(levels_meta, tile):
+    """VMEM scratch shape for the mip strip buffer (None if no level uses
+    the strip path).  Includes the +8/+128 aligned-read margins."""
+    t0, t1 = tile
+    u0 = u1 = 0
+    for lvl, *_ in levels_meta[1:]:
+        k = 2 ** lvl
+        if k > _STRIP_KMAX:
+            continue
+        g = max(1, _STRIP_GK // k)
+        u0 = max(u0, t0 + (g + 1) * k)
+        u1 = max(u1, t1 + (g + 1) * k + 1)
+    if u0 == 0:
+        return None
+    return (_round_up(u0 + 8, 8), _round_up(u1 + 128, 128))
 
 
 def _roll_neg(x, amount, axis):
@@ -85,8 +121,10 @@ def _shifted_window(win_ref, start_i, start_j, rows, cols):
     r = _round_up(rows + 7, 8)
     c = _round_up(cols + 127, 128)
     slab = win_ref[pl.ds(ia, r), pl.ds(ja, c)]
-    slab = _roll_neg(slab, start_i - ia, 0)
-    slab = _roll_neg(slab, start_j - ja, 1)
+    if not _ABLATE & {"no_roll", "no_roll0"}:
+        slab = _roll_neg(slab, start_i - ia, 0)
+    if not _ABLATE & {"no_roll", "no_roll1"}:
+        slab = _roll_neg(slab, start_j - ja, 1)
     return slab[:rows, :cols]
 
 
@@ -151,6 +189,9 @@ def _kernel(tmap_ref, soff_ref, z_org_ref, z_inner_ref, *refs, levels_meta,
     pwin_refs = refs[3 * n_levels + 1:4 * n_levels + 1]
     wmax_ref = refs[4 * n_levels + 1]   # SMEM (n_levels,): window maxima
     sem = refs[4 * n_levels + 2]
+    strip_ref = (refs[4 * n_levels + 3]
+                 if _strip_scratch_shape(levels_meta, tile) is not None
+                 else None)             # mip strip buffer (see _STRIP_GK)
 
     t0, t1 = tile
     ti = pl.program_id(0)
@@ -204,13 +245,15 @@ def _kernel(tmap_ref, soff_ref, z_org_ref, z_inner_ref, *refs, levels_meta,
             pwin_refs[p],
             sem.at[n_lv + p])
 
+    n_lv_used = 1 if "no_mip" in _ABLATE else len(levels_meta)
+
     @pl.when(ak == 0)
     def _():
-        for p in range(len(levels_meta)):
+        for p in range(n_lv_used):
             _dma(p).start()
             _dma_pool(p).start()
         _dma(0).wait()
-        for p in range(len(levels_meta)):
+        for p in range(n_lv_used):
             _dma_pool(p).wait()
 
     h, w = outer_shape
@@ -285,26 +328,42 @@ def _kernel(tmap_ref, soff_ref, z_org_ref, z_inner_ref, *refs, levels_meta,
         def quad_update(acc, a_c, b_c, h0, s_start, length, t_lo, extra):
             """Max-update with the parabola's interior stationary value.
 
-            Horizon: at the stationary point of P(t)/(s+t) the ratio equals
-            P'(t*) = 2 a t* + b — division-free.  Shadow: the stationary
-            point of P(t) - m t is the vertex t* = (m - b)/(2a) (maximum
-            only for concave segments, a < 0)."""
+            Horizon: at the stationary point t* of (P(t) + C)/(s + t) with
+            P = a t^2 + b t, C = h0 - z_org, the ratio equals P'(t*) =
+            2 a t* + b and t* = -s + sqrt(rad), rad = s^2 - (b s - C)/a.
+            Division-free form (divides were ~1/4 of kernel time,
+            tools/ablate_kernel.py "no_quad"): with u = a s^2 - b s + C
+            (= a * rad), 2 a sqrt(rad) = 2 sign(a) sqrt(a u), and the
+            window test t* in (t_lo, length) becomes the sign-robust
+            product test (u - a lo^2)(u - a hi^2) < 0 with lo = s + t_lo,
+            hi = s + length (degenerate a fails it automatically — no
+            epsilon clamps).  Any stationary point is a true value of the
+            ratio on the segment, so max-updating with it is always safe.
+
+            Shadow: the stationary point of P(t) - m t is the vertex
+            t* = (m - b)/(2a) (a maximum only for concave segments,
+            a < 0) with value C0 - (b - m)^2 / (4 a), C0 = h0 - z_org -
+            s m."""
+            if "no_quad" in _ABLATE:
+                return acc
             if shadow:
                 a_s = jnp.where(a_c < -1e-12, a_c, jnp.float32(-1e-12))
-                t_int = (m - b_c) / (2.0 * a_s)
+                d = b_c - m
+                lo2a = 2.0 * (t_lo + 1e-3) * a_c
+                hi2a = 2.0 * (length - 1e-3) * a_c
                 valid = ((a_c < -1e-12)
-                         & (t_int > t_lo + 1e-3) & (t_int < length - 1e-3))
-                r_int = (a_c * t_int * t_int + b_c * t_int + h0
-                         - z_org - (s_start + t_int) * m)
+                         & ((d + lo2a) * (d + hi2a) < 0.0))
+                r_int = (h0 - z_org - s_start * m
+                         - 0.25 * d * d / a_s)
             else:
-                a_s = jnp.where(jnp.abs(a_c) > 1e-12, a_c,
-                                jnp.float32(1e-12))
-                rad = s_start * s_start - (b_c * s_start - h0 + z_org) / a_s
-                pos = rad > 0.0
-                t_int = -s_start + jnp.sqrt(jnp.where(pos, rad, 1.0))
-                valid = ((jnp.abs(a_c) > 1e-12) & pos
-                         & (t_int > t_lo + 1e-3) & (t_int < length - 1e-3))
-                r_int = 2.0 * a_c * t_int + b_c
+                c0 = h0 - z_org
+                u = (a_c * s_start - b_c) * s_start + c0
+                g = jnp.sqrt(jnp.maximum(a_c * u, 0.0))
+                g = jnp.where(a_c >= 0.0, g, -g)
+                r_int = b_c - 2.0 * a_c * s_start + 2.0 * g
+                lo = s_start + t_lo + 1e-3
+                hi = s_start + length - 1e-3
+                valid = (u - a_c * (lo * lo)) * (u - a_c * (hi * hi)) < 0.0
             if extra is not None:
                 valid = valid & extra
             return jnp.maximum(acc, jnp.where(valid, r_int, _NEG_INIT))
@@ -397,7 +456,10 @@ def _kernel(tmap_ref, soff_ref, z_org_ref, z_inner_ref, *refs, levels_meta,
             s_b = s_a + step
             h_a, dia, dja = read0(s_a)
             acc = point_update(acc, h_a, s_a)
-            h_b, dib, djb = read0(s_b)
+            if "one_read" in _ABLATE:
+                h_b, dib, djb = h_a, dia, dja
+            else:
+                h_b, dib, djb = read0(s_b)
             acc = point_update(acc, h_b, s_b)
             a_c = (2.0 * h_b + 2.0 * h1 - 4.0 * h_a) * (inv_l1 * inv_l1)
             b_c = (4.0 * h_a - 3.0 * h1 - h_b) * inv_l1
@@ -480,6 +542,9 @@ def _kernel(tmap_ref, soff_ref, z_org_ref, z_inner_ref, *refs, levels_meta,
                         sB = (nx + 2 * b1) * step
                         def skip_g(c, sB=sB):
                             return (c[0], read0(jnp.float32(sB))[0])
+                        if "no_skip" in _ABLATE:
+                            c = run_g(c)
+                            continue
                         bound = (dir_max(0, sA, sB) - z_org_min) \
                             * (1.0 / sA)
                         c = lax.cond(bound <= jnp.min(c[0]), skip_g,
@@ -517,14 +582,23 @@ def _kernel(tmap_ref, soff_ref, z_org_ref, z_inner_ref, *refs, levels_meta,
                                        True, v2, v1)
 
         # ---- Mip phases: conservative point samples ----
-        # Nearest-neighbour upsample of the coarse window to the fine tile:
-        # rows via jnp.repeat (elementwise on the sublane axis) + dynamic
-        # roll; columns via a static one-hot matmul (pltpu.repeat TILES the
-        # array and the lane axis has no elementwise repeat in Mosaic — the
-        # MXU does the spread instead) + dynamic lane roll.  No masks: mip
-        # reads are nearest (no blending), so off-grid samples return the
-        # sentinel and never win the running max.
-        for p in range(1, len(phases_meta)):
+        # Nearest-neighbour upsample of the coarse window to the fine tile,
+        # engineered around Mosaic costs (measured with
+        # tools/ablate_kernel.py: jnp.repeat on sublanes, full-width lane
+        # rolls and relayouts dominated the first implementation):
+        #
+        # * one aligned slab load, ONE dynamic lane roll at *coarse*
+        #   resolution (the cheapest place to do the large shift);
+        # * the row-axis k-repeat, sub-coarse row shift and slab row
+        #   alignment fuse into a single dynamic one-hot matmul R @ slab
+        #   (the MXU does the spread; building R is t0 x r8 iota compares);
+        # * the column-axis k-repeat is a static one-hot matmul (hoisted);
+        # * the remaining sub-coarse lane shift is < k lanes, so shallow
+        #   levels use log2(k) select stages instead of a dynamic roll.
+        #
+        # No masks: mip reads are nearest (no blending), so off-grid
+        # samples return the sentinel and never win the running max.
+        for p in range(1, 1 if "no_mip" in _ABLATE else len(phases_meta)):
             @pl.when((ak == 0) & (k_local == 0))
             def _(p=p):
                 _dma(p).wait()
@@ -537,7 +611,9 @@ def _kernel(tmap_ref, soff_ref, z_org_ref, z_inner_ref, *refs, levels_meta,
             sz0 = _round_up(t0 // kpow + 2 + 8, 8)
             sz1 = _round_up(t1 // kpow + 128 // kpow + 2 + 8, 128)
             t1_pad = _round_up(t1 + kpow + 1, 128)
-            # one-hot column-upsample operator: S[c, y] = (y // k == c)
+            r8 = _round_up(sz0 + 7, 8)
+            c128 = _round_up(sz1 + 127, 128)
+            # one-hot column-upsample operator: S[c, y] = (y // k == c).
             c_idx = jax.lax.broadcasted_iota(jnp.int32, (sz1, t1_pad), 0)
             y_idx = jax.lax.broadcasted_iota(jnp.int32, (sz1, t1_pad), 1)
             s_op = (y_idx // kpow == c_idx).astype(jnp.float32)
@@ -545,8 +621,9 @@ def _kernel(tmap_ref, soff_ref, z_org_ref, z_inner_ref, *refs, levels_meta,
             bias = kpow * 16384
 
             def mip_body(m, acc, lvl=lvl, kpow=kpow, wpad=wpad, sz0=sz0,
-                         sz1=sz1, t1_pad=t1_pad, s_op=s_op, bias=bias,
-                         s_first=s_first, step_l=step_l, p=p):
+                         sz1=sz1, t1_pad=t1_pad, r8=r8, c128=c128,
+                         s_op=s_op, bias=bias, s_first=s_first,
+                         step_l=step_l, p=p):
                 s = jnp.minimum(s_first + m.astype(jnp.float32) * step_l,
                                 dist)
                 ri = jnp.round(s * sh_i).astype(jnp.int32)
@@ -559,14 +636,114 @@ def _kernel(tmap_ref, soff_ref, z_org_ref, z_inner_ref, *refs, levels_meta,
                     - lax.div(b_base, kpow) + wpad
                 al_i = lax.rem(c0 + bias, kpow)
                 al_j = lax.rem(c1 + bias, kpow)
-                win = _shifted_window(win_refs[p], st_i + deltas[p][0],
-                                      st_j + deltas[p][1], sz0, sz1)
-                rows = jnp.repeat(win, kpow, axis=0)     # fine rows x coarse
-                rows = _roll_neg(rows, al_i, 0)[:t0, :]
+                start_i = st_i + deltas[p][0]
+                start_j = st_j + deltas[p][1]
+                ia = pl.multiple_of((start_i // 8) * 8, 8)
+                ja = pl.multiple_of((start_j // 128) * 128, 128)
+                slab = win_refs[p][pl.ds(ia, r8), pl.ds(ja, c128)]
+                slab = _roll_neg(slab, start_j - ja, 1)[:, :sz1]
+                # fused row upsample + alignment:
+                #   rows[y, :] = slab[(start_i - ia) + (y + al_i)//k, :]
+                yy = jax.lax.broadcasted_iota(jnp.int32, (t0, r8), 0)
+                cc = jax.lax.broadcasted_iota(jnp.int32, (t0, r8), 1)
+                r_op = (lax.div(yy + al_i, kpow) + (start_i - ia)
+                        == cc).astype(jnp.float32)
+                rows = jnp.dot(r_op, slab,
+                               preferred_element_type=jnp.float32)
                 up = jnp.dot(rows, s_op,
                              preferred_element_type=jnp.float32)
-                hs = _roll_neg(up, al_j, 1)[:, :t1]
+                # final sub-coarse lane shift by al_j in [0, k)
+                if lvl <= 2:
+                    hs = up
+                    for b in range(lvl):
+                        sh = 1 << b
+                        bit = ((al_j >> b) & 1) > 0
+                        hs = jnp.where(
+                            bit, jnp.pad(hs[:, sh:], ((0, 0), (0, sh))),
+                            hs)
+                    hs = hs[:, :t1]
+                else:
+                    hs = _roll_neg(up, al_j, 1)[:, :t1]
                 return point_update(acc, hs, s)
+
+            # ---- Strip-chunk path: amortise the upsample over a chunk ----
+            # Up to _STRIP_GK/k consecutive steps read from ONE fine-
+            # resolution strip built with the two one-hot matmuls; each
+            # step is then a dense-style shifted read (the per-step
+            # upsample machinery was ~36% of kernel time at the bench
+            # shape, tools/ablate_kernel.py).  Values are bitwise equal to
+            # the per-step path: the strip holds exactly the NN-upsampled
+            # level, and reads land on the same cells.
+            if strip_ref is not None and kpow <= _STRIP_KMAX:
+                g_n = max(1, _STRIP_GK // kpow)
+                n_ch = (n_m + g_n - 1) // g_n
+                u0 = t0 + (g_n + 1) * kpow
+                u1 = t1 + (g_n + 1) * kpow + 1
+                u0r = _round_up(u0, 8)
+                u1r = _round_up(u1, 128)
+                sg0 = _round_up(u0 // kpow + 2 + 7, 8)
+                sg1 = _round_up(u1 // kpow + 2 + 127, 128)
+                cs = jax.lax.broadcasted_iota(jnp.int32, (sg1, u1r), 0)
+                ys = jax.lax.broadcasted_iota(jnp.int32, (sg1, u1r), 1)
+                s_opg = (ys // kpow == cs).astype(jnp.float32)
+
+                def chunk_body(c, acc, kpow=kpow, wpad=wpad, bias=bias,
+                               p=p, g_n=g_n, n_m=n_m, s_first=s_first,
+                               step_l=step_l, u0r=u0r, u1r=u1r, sg0=sg0,
+                               sg1=sg1, s_opg=s_opg):
+                    def stw(s):
+                        ri = jnp.round(s * sh_i).astype(jnp.int32)
+                        rj = jnp.round(s * sh_j).astype(jnp.int32)
+                        c0 = a_base + ri
+                        c1 = b_base + rj
+                        st_i = lax.div(c0 + bias, kpow) - (bias // kpow) \
+                            - lax.div(a_base, kpow) + wpad + deltas[p][0]
+                        st_j = lax.div(c1 + bias, kpow) - (bias // kpow) \
+                            - lax.div(b_base, kpow) + wpad + deltas[p][1]
+                        return (st_i, st_j, lax.rem(c0 + bias, kpow),
+                                lax.rem(c1 + bias, kpow))
+
+                    def s_of(m):
+                        return jnp.minimum(
+                            s_first + m.astype(jnp.float32) * step_l, dist)
+
+                    m_lo = c * g_n
+                    m_hi = jnp.minimum(m_lo + g_n - 1, n_m - 1)
+                    qa_i, qa_j, _, _ = stw(s_of(m_lo))
+                    qb_i, qb_j, _, _ = stw(s_of(m_hi))
+                    # shifts are monotone in s, so chunk extrema are at the
+                    # endpoints; anchor the strip at the minimum
+                    q0_i = jnp.minimum(qa_i, qb_i)
+                    q0_j = jnp.minimum(qa_j, qb_j)
+                    ia = pl.multiple_of((q0_i // 8) * 8, 8)
+                    ja = pl.multiple_of((q0_j // 128) * 128, 128)
+                    slab = win_refs[p][pl.ds(ia, sg0), pl.ds(ja, sg1)]
+                    slab = _roll_neg(slab, q0_j - ja, 1)
+                    yy = jax.lax.broadcasted_iota(jnp.int32, (u0r, sg0), 0)
+                    cc = jax.lax.broadcasted_iota(jnp.int32, (u0r, sg0), 1)
+                    r_opg = (lax.div(yy, kpow) + (q0_i - ia)
+                             == cc).astype(jnp.float32)
+                    rows = jnp.dot(r_opg, slab,
+                                   preferred_element_type=jnp.float32)
+                    strip_ref[:u0r, :u1r] = jnp.dot(
+                        rows[:, :sg1], s_opg,
+                        preferred_element_type=jnp.float32)
+
+                    def g_body(g, acc):
+                        m = jnp.minimum(m_lo + g, n_m - 1)  # tail re-reads
+                        s = s_of(m)                         # (max: no-op)
+                        si, sj, ai, aj = stw(s)
+                        di = ai + (si - q0_i) * kpow
+                        dj = aj + (sj - q0_j) * kpow
+                        hs = _shifted_window(strip_ref, di, dj, t0, t1)
+                        return point_update(acc, hs, s)
+                    return lax.fori_loop(0, g_n, g_body, acc)
+
+                def run_phase(a, n_ch=n_ch, chunk_body=chunk_body):
+                    return lax.fori_loop(0, n_ch, chunk_body, a)
+            else:
+                def run_phase(a, n_m=n_m, mip_body=mip_body):
+                    return lax.fori_loop(0, n_m, mip_body, a)
 
             # Provably-safe early exit: skip the phase when no terrain the
             # segment can sample is able to raise any cell's running value.
@@ -583,9 +760,10 @@ def _kernel(tmap_ref, soff_ref, z_org_ref, z_inner_ref, *refs, levels_meta,
                 dmax = dir_max(p, s_first, s_last)
                 bound = (dmax - z_org_min) * (1.0 / s_first)
                 skip = bound <= jnp.min(acc)
-            acc = lax.cond(
-                skip, lambda a: a,
-                lambda a: lax.fori_loop(0, n_m, mip_body, a), acc)
+            if "no_skip" in _ABLATE:
+                acc = run_phase(acc)
+            else:
+                acc = lax.cond(skip, lambda a: a, run_phase, acc)
 
         if ramp_refs is not None:
             acc = acc + ux * ramp_refs[0][...] + uy * ramp_refs[1][...]
@@ -624,10 +802,12 @@ def _build_metas(schedule, t0, t1, step):
         lvl = ph.level
         wpad = schedule.pads[lvl] + 2
         k = 2 ** lvl
-        # +8 rows / +128 cols: DMA source-start alignment remainder; the
-        # further +8/+128 covers the aligned in-kernel read (see mip_body)
-        wsz = (_round_up(t0 // k + 2 * wpad + 2 + 16 + 8 + 8, 8),
-               _round_up(t1 // k + 2 * wpad + 2 + 256 + 128 + 128, 128))
+        # +8 rows / +128 cols: DMA source-start alignment remainder; a
+        # further +8/+128 covers the aligned in-kernel read and another
+        # +8/+128 the strip-chunk slab (see the kernel's mip phases)
+        wsz = (_round_up(t0 // k + 2 * wpad + 2 + 16 + 8 + 8 + 8, 8),
+               _round_up(t1 // k + 2 * wpad + 2 + 256 + 128 + 128 + 128,
+                         128))
         levels_meta.append((lvl, wpad) + wsz + _pool_sizes(*wsz))
         s_vals = schedule.s_values[p]
         step_l = float(s_vals[1] - s_vals[0]) if ph.num > 1 else step * k
@@ -643,6 +823,9 @@ def _vmem_limit(levels_meta, t0, t1, a_chunk, n_tensors=4):
     marching halo); v5e/v5p physical VMEM is 128 MiB, so sizing the limit
     from the real footprint is safe."""
     scratch = sum(m[2] * m[3] + m[4] * m[5] for m in levels_meta) * 4
+    strip = _strip_scratch_shape(levels_meta, (t0, t1))
+    if strip is not None:
+        scratch += strip[0] * strip[1] * 4
     blocks = 2 * (n_tensors * t0 * t1 + a_chunk * t0 * t1) * 4
     return min(int(scratch + blocks + (4 << 20)), 100 << 20)
 
@@ -888,6 +1071,10 @@ def pallas_forward_fn(z_outer, tilt_ramp, tile_map, shard_off, *,
         + [pltpu.VMEM((m[4], m[5]), jnp.float32) for m in levels_meta]
         + [pltpu.SMEM((len(levels_meta),), jnp.float32),
            pltpu.SemaphoreType.DMA((2 * len(levels_meta),))])
+    strip_shape = _strip_scratch_shape(levels_meta, (t0, t1))
+    if strip_shape is not None:
+        scratch_shapes = scratch_shapes + [
+            pltpu.VMEM(strip_shape, jnp.float32)]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -1155,6 +1342,10 @@ def shadow_forward_fn(z_outer, z_org_r, z_inner_r, sun_table, tile_map,
         + [pltpu.VMEM((m[4], m[5]), jnp.float32) for m in levels_meta]
         + [pltpu.SMEM((len(levels_meta),), jnp.float32),
            pltpu.SemaphoreType.DMA((2 * len(levels_meta),))])
+    strip_shape = _strip_scratch_shape(levels_meta, (t0, t1))
+    if strip_shape is not None:
+        scratch_shapes = scratch_shapes + [
+            pltpu.VMEM(strip_shape, jnp.float32)]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

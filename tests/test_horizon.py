@@ -186,3 +186,43 @@ def test_horizon_gridded_engine_sweep_matches_auto_on_cpu():
         vert, n, n, vec_norm, vec_north, off, off, dist_search=0.25,
         azim_num=8, verbose=False, engine="sweep")
     np.testing.assert_array_equal(h_auto, h_sweep)
+
+
+def test_masked_bbox_crop_matches_full_sweep():
+    """The XLA path crops the sweep to the unmasked bounding box
+    (mask-driven work reduction, reference horizon_comp.cpp:749); values
+    on unmasked cells must match the unmasked run within the accuracy
+    budget (cropping changes the schedule's safe-phase split, which can
+    regroup d1 parabola pairs — sub-hori_acc differences) and masked
+    cells get hori_fill."""
+    dx = 25.0
+    z = gaussian_bumps_terrain(48, 48, seed=9, amp=300.0)
+    vg = _vert_grid_planar(z, dx=dx, dy=-dx)
+    in0 = in1 = 16
+    off = 16
+    vn, vnor = _default_vectors(in0, in1)
+    full, _ = horizon.horizon_gridded(
+        vg, 48, 48, vn, vnor, off, off, dist_search=0.5, azim_num=8,
+        verbose=False, engine="sweep")
+    mask = np.zeros((in0, in1), dtype=np.uint8)
+    mask[3:9, 5:14] = 1
+    got, _ = horizon.horizon_gridded(
+        vg, 48, 48, vn, vnor, off, off, dist_search=0.5, azim_num=8,
+        mask=mask, hori_fill=-9.0, verbose=False, engine="sweep")
+    sel = mask == 1
+    d = np.abs(got[sel] - full[sel])
+    assert np.rad2deg(d.max()) < 0.25, \
+        f"masked bbox crop diverged: {np.rad2deg(d.max()):.4f} deg"
+    assert np.median(d) == 0.0        # almost all cells bit-identical
+    assert np.allclose(got[~sel], -9.0)
+
+
+def test_masked_all_zero_returns_fill():
+    z = np.zeros((32, 32), dtype=np.float32)
+    vg = _vert_grid_planar(z)
+    vn, vnor = _default_vectors(8, 8)
+    mask = np.zeros((8, 8), dtype=np.uint8)
+    hori, _ = horizon.horizon_gridded(
+        vg, 32, 32, vn, vnor, 12, 12, dist_search=0.3, azim_num=4,
+        mask=mask, hori_fill=0.5, verbose=False, engine="sweep")
+    assert np.allclose(hori, 0.5)

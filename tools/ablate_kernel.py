@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+# Copyright (c) 2026
+# MIT License
+"""Attribute fused-kernel time to its components on real hardware.
+
+Runs the bench-shape horizon sweep with each `ops.pallas_sweep._ABLATE`
+flag (profiling-only static knobs compiled into the kernel) and prints a
+wall-time table.  Most ablations produce WRONG results by design — this is
+a profiler, not a benchmark.  jit caches are cleared between settings so
+each flag recompiles.
+
+Usage:  PYTHONPATH=/root/repo:/root/.axon_site python tools/ablate_kernel.py
+"""
+
+import time
+
+import numpy as np
+
+
+def make_terrain(h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    z = np.zeros((h, w), dtype=np.float64)
+    for _ in range(24):
+        cy, cx = rng.uniform(0, h), rng.uniform(0, w)
+        sig = rng.uniform(6.0, h / 6.0)
+        z += rng.uniform(100, 800) * np.exp(
+            -(((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * sig ** 2)))
+    return z.astype(np.float32)
+
+
+def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--inner", type=int, default=1024)
+    ap.add_argument("--halo", type=int, default=512)
+    ap.add_argument("--azim", type=int, default=32)
+    ap.add_argument("--dist", type=float, default=20.0)
+    ap.add_argument("--dx", type=float, default=25.0)
+    ap.add_argument("--tile", type=str, default="128,512")
+    ap.add_argument("--a-chunk", type=int, default=0,
+                    help="override azimuths per grid step (0 = default)")
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--configs", type=str, default="",
+                    help="comma-separated subset of config names to run")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from horayzon_tpu.ops import pallas_sweep, sweep
+
+    in0 = in1 = args.inner
+    h = w = args.inner + 2 * args.halo
+    z = make_terrain(h, w)
+    z_dev = jnp.asarray(z)
+    tile = tuple(int(t) for t in args.tile.split(","))
+
+    sched = sweep.build_schedule(args.dx, args.dist * 1000.0,
+                                 sweep.default_rel_err(0.25))
+    print(f"schedule: {sched.num_samples} samples/(cell,azim); phases:")
+    for ph, s in zip(sched.phases, sched.s_values):
+        print(f"  level={ph.level:2d} kind={ph.kind} num={ph.num:4d} "
+              f"s=[{s[0]:.0f}..{s[-1]:.0f}] m")
+
+    def run():
+        out = pallas_sweep.horizon_sweep_pallas(
+            z_dev, dx=args.dx, dy=-args.dx, offset=(args.halo, args.halo),
+            inner_shape=(in0, in1), azim_num=args.azim,
+            dist_search=args.dist * 1000.0, hori_acc=0.25, tile=tile,
+            a_chunk=args.a_chunk or None)
+        return float(jnp.mean(out))
+
+    def timed():
+        run()  # compile + warm
+        ts = []
+        for _ in range(args.iters):
+            t0 = time.perf_counter()
+            run()
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    configs = [
+        ("full", frozenset()),
+        ("no_skip", frozenset({"no_skip"})),
+        ("no_quad", frozenset({"no_quad"})),
+        ("one_read", frozenset({"one_read"})),
+        ("no_mip", frozenset({"no_mip"})),
+        ("no_roll", frozenset({"no_roll"})),
+        ("no_roll+no_quad", frozenset({"no_roll", "no_quad"})),
+        ("no_roll0", frozenset({"no_roll0"})),
+        ("no_roll1", frozenset({"no_roll1"})),
+        ("no_roll+no_quad+no_mip",
+         frozenset({"no_roll", "no_quad", "no_mip"})),
+    ]
+    if args.configs:
+        keep = set(args.configs.split(","))
+        configs = [c for c in configs if c[0] in keep]
+    base = None
+    print(f"\n{'config':<24}{'wall[s]':>9}{'vs full':>9}")
+    for name, flags in configs:
+        pallas_sweep._ABLATE = flags
+        jax.clear_caches()
+        dt = timed()
+        if base is None:
+            base = dt
+        print(f"{name:<24}{dt:>9.4f}{dt / base:>9.3f}")
+    pallas_sweep._ABLATE = frozenset()
+    jax.clear_caches()
+
+    cells = in0 * in1
+    print(f"\nfull: {cells * args.azim * sched.num_samples / base / 1e9:.1f}"
+          f" G samples/s")
+
+
+if __name__ == "__main__":
+    main()
