@@ -141,10 +141,17 @@ def _kernel(tmap_ref, soff_ref, z_org_ref, z_inner_ref, *refs, levels_meta,
       compacted list implements the reference's mask-driven cell skipping
       at tile granularity (horizon_comp.cpp:685-695,749): fully masked
       tiles have no slot, so no DMA and no sweep runs for them.
-    * ``soff_ref`` (4,) int32 — (row0, col0, azim0, unused) shard offsets:
-      under ``shard_map`` each shard passes its global row / azimuth start
-      so in-kernel geometry stays global while block indices stay local
-      (the TBB row-range analog, horizon_comp.cpp:739-800).
+    * ``soff_ref`` (4 + n_levels,) int32 — (row0, col0, azim0, unused,
+      orig_0, ..., orig_{L-1}) shard offsets: under ``shard_map`` each
+      shard passes its global row / azimuth start so in-kernel geometry
+      stays global while block indices stay local (the TBB row-range
+      analog, horizon_comp.cpp:739-800).  ``orig_p`` is the row at which
+      level p's HBM array was sliced out of the full padded level (in
+      level-p cells, a multiple of 8): memory-scalable sharding passes
+      per-shard fine-level windows instead of replicating the full outer
+      heightfield, and the kernel subtracts the origin from every DMA
+      source start (SURVEY.md section 7 step 7).  All-zero for unsliced
+      (replicated or single-device) levels.
 
     refs layout: [sun_ref (shadow mode only), lvl_0, ..., lvl_{L-1},
     pool_0, ..., pool_{L-1}] (ANY), out_ref, then scratch:
@@ -210,7 +217,8 @@ def _kernel(tmap_ref, soff_ref, z_org_ref, z_inner_ref, *refs, levels_meta,
     pstarts = []
     for p, (lvl, wpad, wsz0, wsz1, psz0, psz1) in enumerate(levels_meta):
         k = 2 ** lvl
-        src_i = (a_base // k) + 2              # low-pad = pads[lvl] + 4
+        # low-pad = pads[lvl] + 4; soff[4+p] re-bases a sliced level array
+        src_i = (a_base // k) + 2 - soff_ref[4 + p]
         src_j = (b_base // k) + 2
         src_i_al = pl.multiple_of((src_i // 8) * 8, 8)
         src_j_al = pl.multiple_of((src_j // 128) * 128, 128)
@@ -226,7 +234,7 @@ def _kernel(tmap_ref, soff_ref, z_org_ref, z_inner_ref, *refs, levels_meta,
     def _dma(p):
         wsz0, wsz1 = levels_meta[p][2], levels_meta[p][3]
         k = 2 ** levels_meta[p][0]
-        src_i = (a_base // k) + 2
+        src_i = (a_base // k) + 2 - soff_ref[4 + p]
         src_j = (b_base // k) + 2
         src_i_al = pl.multiple_of((src_i // 8) * 8, 8)
         src_j_al = pl.multiple_of((src_j // 128) * 128, 128)
@@ -399,9 +407,12 @@ def _kernel(tmap_ref, soff_ref, z_org_ref, z_inner_ref, *refs, levels_meta,
             b_div = lax.div(b_base, kpow).astype(jnp.float32)
             # pooled-window cell (pi, pj) -> block-centre offset (coarse
             # cells) from the tile origin: padded-level row 8*(ppal + pi)
-            # + 3.5, minus the level's low pad (wpad + 2), minus the tile
+            # + 3.5 plus the slice origin soff[4+p] (the slice start is a
+            # multiple of 8, so local pooled blocks coincide with global
+            # ones), minus the level's low pad (wpad + 2), minus the tile
             # origin a_base // k.
             base_i = (8.0 * pstarts[p][0].astype(jnp.float32) + 3.5
+                      + soff_ref[4 + p].astype(jnp.float32)
                       - (wpad + 2) - a_div)
             base_j = (8.0 * pstarts[p][1].astype(jnp.float32) + 3.5
                       - (wpad + 2) - b_div)
@@ -449,6 +460,11 @@ def _kernel(tmap_ref, soff_ref, z_org_ref, z_inner_ref, *refs, levels_meta,
         # interior (quad) update with t_lo=0 so its window covers both
         # trailing intervals — identical interval coverage at half the
         # sqrt/div cost (the quad update is ~1/3 of kernel time otherwise).
+        # (A pair-shared slab was tried twice and REVERTED: one aligned
+        # slab per pair with the two reads picked by data selects measured
+        # 0.240 s and by 3-node zero-weight sums 0.196 s vs 0.183 s for
+        # two plain reads at the bench shape — the extra lane-offset
+        # slices/madds cost more than the saved roll pass.)
         def d1_pair(m, acc, h1, masked, v1=None):
             """Two marching steps ending at (m+1)*step and (m+2)*step;
             h1 = sample at m*step.  Returns (acc, h_a, h_b[, v_a, v_b])."""
@@ -827,7 +843,9 @@ def _vmem_limit(levels_meta, t0, t1, a_chunk, n_tensors=4):
     if strip is not None:
         scratch += strip[0] * strip[1] * 4
     blocks = 2 * (n_tensors * t0 * t1 + a_chunk * t0 * t1) * 4
-    return min(int(scratch + blocks + (4 << 20)), 100 << 20)
+    # 6 MiB headroom: roll slabs + fused temporaries (the d1 pair slab is
+    # (t0+16, t1+256) f32 with several live copies during the selects)
+    return min(int(scratch + blocks + (6 << 20)), 100 << 20)
 
 
 def default_a_chunk(azim_num, t0, t1):
@@ -999,7 +1017,7 @@ def pallas_forward_fn(z_outer, tilt_ramp, tile_map, shard_off, *,
                       levels_meta, phases_meta, pads, tile, a_chunk, a_num,
                       n_az_out, offset, inner_shape, dx, dy, step, dist,
                       near_ex, n_safe, ray_org_elev, elev_lims, interpret,
-                      pyramid=None):
+                      pyramid=None, inner_start=None, outer_shape=None):
     """Unjitted fused forward: mip pyramid + padding + Pallas sweep + arctan.
 
     Safe to embed in ``shard_map`` (the jitted single-device entry is
@@ -1014,7 +1032,17 @@ def pallas_forward_fn(z_outer, tilt_ramp, tile_map, shard_off, *,
     multi-resolution terrain where the far-field levels come from a coarse
     grid (:func:`horayzon_tpu.ops.multires.combined_pyramid`) — then
     ``z_outer`` is only the fine grid (inner + halo) and the search
-    distance may exceed its extent.
+    distance may exceed its extent.  Level arrays may be row-sliced
+    windows of the full padded levels if ``shard_off[4 + p]`` carries each
+    slice's start row (see the kernel docstring) — the memory-scalable
+    sharded path (:func:`horayzon_tpu.parallel.shard.
+    horizon_sweep_multires_pallas_sharded`).
+
+    ``inner_start``: where to slice the (in0, in1) inner block out of
+    ``z_outer`` (defaults to ``offset + shard_off[:2]``; pass (0, off1)
+    when ``z_outer`` is a per-shard row slab).  ``outer_shape``: the
+    *global* fine-grid shape for the in-domain masks when ``z_outer`` is
+    a shard-local slab (defaults to ``z_outer.shape``).
 
     Returns (n_az_out, in0, in1) float32 [radian] — azimuth leads so the
     per-azimuth store indexes the cheap leading dimension; callers
@@ -1030,8 +1058,16 @@ def pallas_forward_fn(z_outer, tilt_ramp, tile_map, shard_off, *,
         padded = list(pyramid)
         pooled = _pool8(padded, levels_meta)
 
-    z_inner = lax.dynamic_slice(
-        z_outer, (off0 + shard_off[0], off1 + shard_off[1]), (in0, in1))
+    n_soff = 4 + len(levels_meta)
+    if shard_off.shape[0] < n_soff:
+        shard_off = jnp.concatenate(
+            [shard_off,
+             jnp.zeros((n_soff - shard_off.shape[0],), jnp.int32)])
+    if inner_start is None:
+        z_inner = lax.dynamic_slice(
+            z_outer, (off0 + shard_off[0], off1 + shard_off[1]), (in0, in1))
+    else:
+        z_inner = lax.dynamic_slice(z_outer, inner_start, (in0, in1))
     z_org = z_inner + jnp.float32(ray_org_elev)
 
     n_tiles = tile_map.shape[0]
@@ -1041,7 +1077,9 @@ def pallas_forward_fn(z_outer, tilt_ramp, tile_map, shard_off, *,
         _kernel,
         levels_meta=levels_meta, phases_meta=phases_meta,
         tile=(t0, t1), a_chunk=a_chunk, a_num=a_num,
-        off0=off0, off1=off1, outer_shape=tuple(z_outer.shape),
+        off0=off0, off1=off1,
+        outer_shape=(tuple(z_outer.shape) if outer_shape is None
+                     else tuple(outer_shape)),
         dx=dx, dy=dy, step=step, dist=dist,
         near_exact=near_ex, n_safe=n_safe,
         mode="horizon" if tilt_ramp is None else "horizon_tilt")
@@ -1314,6 +1352,12 @@ def shadow_forward_fn(z_outer, z_org_r, z_inner_r, sun_table, tile_map,
             pooled = _pool8(padded, levels_meta)
         else:
             pooled = list(pooled)
+
+    n_soff = 4 + len(levels_meta)
+    if shard_off.shape[0] < n_soff:
+        shard_off = jnp.concatenate(
+            [shard_off,
+             jnp.zeros((n_soff - shard_off.shape[0],), jnp.int32)])
 
     grid = (tile_map.shape[0], num_sun // t_chunk)
 

@@ -184,3 +184,96 @@ def test_sharded_shadow_matches_single_device(terrain):
     out = np.asarray(pshard.shadow_metric_sharded(
         mesh, terrain, z_org, z_in, m, u_cells, sched, off, inner))
     np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_sharded_multires_pallas_matches_single_device():
+    """Memory-scalable composition (VERDICT r2 item 3): multires far field
+    + fused Pallas + shard_map, with per-shard fine-level windows instead
+    of a replicated outer heightfield.  Exact equality vs the
+    single-device multires Pallas engine (windows are literal 8-aligned
+    slices of the same padded levels, so every sample and every pooled
+    early-exit bound is bitwise identical)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from horayzon_tpu.ops import multires
+
+    from reference_impl import gaussian_bumps_terrain as _terrain
+
+    dx = 25.0
+    dist = 4000.0
+    acc = 2.0
+    halo_full = int(dist / dx) + 16
+    inner = 32
+    n_full = inner + 2 * halo_full
+    full = _terrain(n_full, n_full, seed=9, amp=500.0)
+    azim_num = 8
+
+    r_log2 = 2
+    halo_fine = 96
+    i0 = halo_full - halo_fine
+    assert i0 % (2 ** r_log2) == 0
+    z_fine = full[i0:i0 + inner + 2 * halo_fine,
+                  i0:i0 + inner + 2 * halo_fine]
+
+    def _dmax(z, r):
+        h, w = z.shape
+        return z[:h - h % r, :w - w % r].reshape(h // r, r, w // r, r) \
+            .max(axis=(1, 3))
+
+    z_coarse = _dmax(full, 2 ** r_log2)
+    kw = dict(ratio_log2=r_log2, coarse_offset=(i0, i0), dx=dx, dy=-dx,
+              offset=(halo_fine, halo_fine), inner_shape=(inner, inner),
+              dist_search=dist, hori_acc=acc, azim_num=azim_num,
+              tile=(8, 32), a_chunk=4, interpret=True)
+    single = np.asarray(multires.horizon_sweep_multires_pallas(
+        z_fine, z_coarse, **kw))
+    mesh = pmesh.make_mesh(n_tile=4, n_azim=2)
+    out = np.asarray(pshard.horizon_sweep_multires_pallas_sharded(
+        mesh, z_fine, z_coarse, **kw))
+    np.testing.assert_array_equal(out, single)
+
+
+def test_sharded_pallas_gradients(terrain):
+    """Differentiable sharded fast path (VERDICT r2 item 4): jax.grad of
+    the sharded fused-Pallas horizon equals the single-device Pallas
+    gradient (both recompute through the same XLA sweep in their custom
+    VJPs; the sharded one psums the replicated heightfield's cotangent
+    through the shard_map transpose)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    import jax.numpy as jnp
+
+    from horayzon_tpu.ops import pallas_sweep
+
+    kw = dict(dx=25.0, dy=-25.0, offset=(16, 16), inner_shape=(8, 32),
+              dist_search=150.0, azim_num=2, a_chunk=1, tile=(2, 32),
+              interpret=True)
+    rng = np.random.default_rng(5)
+    ramp = tuple(rng.normal(0.0, 1e-4, (8, 32)).astype(np.float32)
+                 for _ in range(2))
+
+    def loss_single(z, r):
+        h = pallas_sweep.horizon_sweep_pallas(z, tilt_ramp=r, **kw)
+        return jnp.mean(h ** 2)
+
+    mesh = pmesh.make_mesh(n_tile=4, n_azim=2)
+
+    def loss_sharded(z, r):
+        h = pshard.horizon_sweep_pallas_sharded(mesh, z, tilt_ramp=r, **kw)
+        return jnp.mean(h ** 2)
+
+    z = jnp.asarray(terrain)
+    gz_s, gr_s = jax.grad(loss_single, argnums=(0, 1))(z, ramp)
+    gz_m, gr_m = jax.grad(loss_sharded, argnums=(0, 1))(z, ramp)
+    gmax = float(jnp.abs(gz_s).max())
+    assert gmax > 0.0
+    # Both VJPs recompute through the same XLA sweep; sharding reassociates
+    # f32 sums (~1e-6 on the recomputed values), which can flip near-tied
+    # running-max winners and reroute that sample's gradient — so the
+    # height cotangent matches to a routing-aware bound while the smooth
+    # ramp cotangent matches tightly.
+    np.testing.assert_allclose(np.asarray(gz_m), np.asarray(gz_s),
+                               atol=3e-2 * gmax)
+    for a, b in zip(gr_m, gr_s):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-9)
