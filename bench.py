@@ -98,12 +98,19 @@ def main():
             dist_search=args.dist * 1000.0, hori_acc=args.acc)
         return hori
 
+    # Tile from the measured lane-tile cost table (horizon._pallas_padded
+    # _shape) rather than a hardcoded shape, so the bench exercises the
+    # same default a horizon_gridded() user gets.
+    from horayzon_tpu import horizon as _hz
+    _, bench_tile = _hz._pallas_padded_shape(
+        (h, w), (args.halo, args.halo), (in0, in1))
+
     def run_pallas():
         return pallas_sweep.horizon_sweep_pallas(
             z_dev, dx=args.dx, dy=-args.dx, offset=(args.halo, args.halo),
             inner_shape=(in0, in1), azim_num=args.azim,
             dist_search=args.dist * 1000.0, hori_acc=args.acc,
-            tile=(128, 512))
+            tile=bench_tile)
 
     def time_engine(run):
         # Warm-up / compile.  NOTE: timing forces a device->host scalar
@@ -168,7 +175,7 @@ def main():
                 z_dev, dx=args.dx, dy=-args.dx,
                 offset=(args.halo, args.halo), inner_shape=(in0, in1),
                 azim_num=a_full, dist_search=args.dist * 1000.0,
-                hori_acc=args.acc, tile=(128, 512))
+                hori_acc=args.acc, tile=bench_tile)
 
         float(jnp.mean(run_full()))        # compile + warm
         times = []
@@ -249,7 +256,8 @@ def main():
         return pallas_sweep.shadow_metric_pallas(
             z_dev, z_org, z_inner, table, schedule=sh_schedule,
             offset=(args.halo, args.halo), inner_shape=(in0, in1),
-            dx=args.dx, dy=-args.dx, grid_origin=(0.0, 0.0))
+            dx=args.dx, dy=-args.dx, grid_origin=(0.0, 0.0),
+            tile=bench_tile)
 
     try:
         hm = float(jnp.mean(run_shadow()))  # warm-up

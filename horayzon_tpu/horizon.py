@@ -65,10 +65,11 @@ def _mask_bbox(mask):
 
 #: Measured per-cell wall-time of the fused kernel by lane-tile width,
 #: relative to t1=256 (tools/ablate_kernel.py --tile, one v5e chip, bench
-#: shape, round 3: 0.2211 s @ 256 vs 0.1832 s @ 512).  Wider tiles
+#: shape, round 3: 0.2211 s @ 256, 0.1832 s @ 512, 0.1710 s @ 1024;
+#: 0.1821 s @ 2048 and 0.1753/0.1786 s @ t0=256 were worse).  Wider tiles
 #: amortise the aligned-slab roll margins; the table trades that against
 #: computing extra padded columns.
-_LANE_TILE_COST = {256: 1.0, 512: 0.829}
+_LANE_TILE_COST = {256: 1.0, 512: 0.829, 1024: 0.773}
 
 
 def _pallas_padded_shape(outer_shape, offset, inner_shape):

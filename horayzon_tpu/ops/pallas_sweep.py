@@ -843,9 +843,11 @@ def _vmem_limit(levels_meta, t0, t1, a_chunk, n_tensors=4):
     if strip is not None:
         scratch += strip[0] * strip[1] * 4
     blocks = 2 * (n_tensors * t0 * t1 + a_chunk * t0 * t1) * 4
-    # 6 MiB headroom: roll slabs + fused temporaries (the d1 pair slab is
-    # (t0+16, t1+256) f32 with several live copies during the selects)
-    return min(int(scratch + blocks + (6 << 20)), 100 << 20)
+    # Headroom for roll slabs + fused temporaries: the dense-read slab is
+    # (t0+16, t1+256) f32 with several live copies during the selects, so
+    # the margin must scale with the tile (6 MiB flat rejected t0=256)
+    slab = (t0 + 16) * (t1 + 256) * 4
+    return min(int(scratch + blocks + 8 * slab + (6 << 20)), 100 << 20)
 
 
 def default_a_chunk(azim_num, t0, t1):
