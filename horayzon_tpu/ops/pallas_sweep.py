@@ -366,12 +366,19 @@ def _kernel(tmap_ref, soff_ref, z_org_ref, z_inner_ref, *refs, levels_meta,
             else:
                 c0 = h0 - z_org
                 u = (a_c * s_start - b_c) * s_start + c0
-                g = jnp.sqrt(jnp.maximum(a_c * u, 0.0))
-                g = jnp.where(a_c >= 0.0, g, -g)
+                if "approx_sqrt" in _ABLATE:
+                    g = a_c * u
+                else:
+                    g = jnp.sqrt(jnp.maximum(a_c * u, 0.0))
+                    g = jnp.where(a_c >= 0.0, g, -g)
                 r_int = b_c - 2.0 * a_c * s_start + 2.0 * g
                 lo = s_start + t_lo + 1e-3
                 hi = s_start + length - 1e-3
-                valid = (u - a_c * (lo * lo)) * (u - a_c * (hi * hi)) < 0.0
+                if "no_quad_valid" in _ABLATE:
+                    valid = a_c < 0.0
+                else:
+                    valid = (u - a_c * (lo * lo)) \
+                        * (u - a_c * (hi * hi)) < 0.0
             if extra is not None:
                 valid = valid & extra
             return jnp.maximum(acc, jnp.where(valid, r_int, _NEG_INIT))
@@ -545,6 +552,7 @@ def _kernel(tmap_ref, soff_ref, z_org_ref, z_inner_ref, *refs, levels_meta,
                     bnds = [round(n_pairs * g / n_chunks)
                             for g in range(n_chunks + 1)]
                     c = (acc, h1)
+                    acc_min = None
                     for g in range(n_chunks):
                         b0, b1 = bnds[g], bnds[g + 1]
                         if b1 <= b0:
@@ -561,9 +569,17 @@ def _kernel(tmap_ref, soff_ref, z_org_ref, z_inner_ref, *refs, levels_meta,
                         if "no_skip" in _ABLATE:
                             c = run_g(c)
                             continue
-                        bound = (dir_max(0, sA, sB) - z_org_min) \
-                            * (1.0 / sA)
-                        c = lax.cond(bound <= jnp.min(c[0]), skip_g,
+                        if acc_min is None:
+                            # one reduction reused by every later chunk: a
+                            # stale (smaller) min only makes skips rarer,
+                            # never unsafe (acc is non-decreasing)
+                            acc_min = jnp.min(c[0])
+                        # sign-safe: terrain below the origin yields the
+                        # least-negative ratio at the far end of the range
+                        num = dir_max(0, sA, sB) - z_org_min
+                        bound = num * jnp.where(num >= 0.0, 1.0 / sA,
+                                                1.0 / sB)
+                        c = lax.cond(bound <= acc_min, skip_g,
                                      run_g, c)
                     acc, h1n = c
                 else:
@@ -621,6 +637,11 @@ def _kernel(tmap_ref, soff_ref, z_org_ref, z_inner_ref, *refs, levels_meta,
                 if shadow:
                     wmax_ref[p] = jnp.max(win_refs[p][...])
             lvl, n_m, s_first, step_l = phases_meta[p]
+            # one min-reduction per phase, shared by the phase-level skip
+            # and every chunk-level skip inside it (stale-min-safe: acc is
+            # non-decreasing, so reusing the phase-entry min only makes
+            # skips rarer, never unsafe)
+            amin_p = None if shadow else jnp.min(acc)
             kpow = 2 ** lvl
             wpad = levels_meta[p][1]
             s_last = s_first + (n_m - 1) * step_l
@@ -725,35 +746,64 @@ def _kernel(tmap_ref, soff_ref, z_org_ref, z_inner_ref, *refs, levels_meta,
 
                     m_lo = c * g_n
                     m_hi = jnp.minimum(m_lo + g_n - 1, n_m - 1)
-                    qa_i, qa_j, _, _ = stw(s_of(m_lo))
-                    qb_i, qb_j, _, _ = stw(s_of(m_hi))
-                    # shifts are monotone in s, so chunk extrema are at the
-                    # endpoints; anchor the strip at the minimum
-                    q0_i = jnp.minimum(qa_i, qb_i)
-                    q0_j = jnp.minimum(qa_j, qb_j)
-                    ia = pl.multiple_of((q0_i // 8) * 8, 8)
-                    ja = pl.multiple_of((q0_j // 128) * 128, 128)
-                    slab = win_refs[p][pl.ds(ia, sg0), pl.ds(ja, sg1)]
-                    slab = _roll_neg(slab, q0_j - ja, 1)
-                    yy = jax.lax.broadcasted_iota(jnp.int32, (u0r, sg0), 0)
-                    cc = jax.lax.broadcasted_iota(jnp.int32, (u0r, sg0), 1)
-                    r_opg = (lax.div(yy, kpow) + (q0_i - ia)
-                             == cc).astype(jnp.float32)
-                    rows = jnp.dot(r_opg, slab,
-                                   preferred_element_type=jnp.float32)
-                    strip_ref[:u0r, :u1r] = jnp.dot(
-                        rows[:, :sg1], s_opg,
-                        preferred_element_type=jnp.float32)
 
-                    def g_body(g, acc):
-                        m = jnp.minimum(m_lo + g, n_m - 1)  # tail re-reads
-                        s = s_of(m)                         # (max: no-op)
-                        si, sj, ai, aj = stw(s)
-                        di = ai + (si - q0_i) * kpow
-                        dj = aj + (sj - q0_j) * kpow
-                        hs = _shifted_window(strip_ref, di, dj, t0, t1)
-                        return point_update(acc, hs, s)
-                    return lax.fori_loop(0, g_n, g_body, acc)
+                    def _run(acc):
+                        qa_i, qa_j, _, _ = stw(s_of(m_lo))
+                        qb_i, qb_j, _, _ = stw(s_of(m_hi))
+                        # shifts are monotone in s, so chunk extrema are at
+                        # the endpoints; anchor the strip at the minimum
+                        q0_i = jnp.minimum(qa_i, qb_i)
+                        q0_j = jnp.minimum(qa_j, qb_j)
+                        ia = pl.multiple_of((q0_i // 8) * 8, 8)
+                        ja = pl.multiple_of((q0_j // 128) * 128, 128)
+                        slab = win_refs[p][pl.ds(ia, sg0), pl.ds(ja, sg1)]
+                        slab = _roll_neg(slab, q0_j - ja, 1)
+                        yy = jax.lax.broadcasted_iota(
+                            jnp.int32, (u0r, sg0), 0)
+                        cc = jax.lax.broadcasted_iota(
+                            jnp.int32, (u0r, sg0), 1)
+                        r_opg = (lax.div(yy, kpow) + (q0_i - ia)
+                                 == cc).astype(jnp.float32)
+                        rows = jnp.dot(r_opg, slab,
+                                       preferred_element_type=jnp.float32)
+                        if "no_strip_mm2" in _ABLATE:
+                            strip_ref[:u0r, :sg1] = rows
+                        elif "no_strip_mm1" in _ABLATE:
+                            strip_ref[:u0r, :u1r] = jnp.zeros(
+                                (u0r, u1r), jnp.float32)
+                        else:
+                            strip_ref[:u0r, :u1r] = jnp.dot(
+                                rows[:, :sg1], s_opg,
+                                preferred_element_type=jnp.float32)
+
+                        def g_body(g, acc):
+                            m = jnp.minimum(m_lo + g, n_m - 1)  # tail
+                            s = s_of(m)                  # re-reads (no-op)
+                            si, sj, ai, aj = stw(s)
+                            di = ai + (si - q0_i) * kpow
+                            dj = aj + (sj - q0_j) * kpow
+                            hs = _shifted_window(strip_ref, di, dj, t0, t1)
+                            return point_update(acc, hs, s)
+                        return lax.fori_loop(0, g_n, g_body, acc)
+
+                    if shadow or "no_skip" in _ABLATE:
+                        return _run(acc)
+                    # Chunk-granular provably-safe early exit (the far
+                    # chunks are the most skippable: the reference's
+                    # warm-start saves the same rays,
+                    # horizon_comp.cpp:436-496).  Value-exact: the bound
+                    # dominates every candidate the chunk could produce,
+                    # so skipping cannot change any cell's running max.
+                    # For terrain below the ray origin the ratio is
+                    # largest at the FAR end of the segment, hence the
+                    # sign-dependent divisor.
+                    sA = s_of(m_lo)
+                    sB = jnp.maximum(s_of(m_hi), sA)
+                    num = dir_max(p, sA, sB) - z_org_min
+                    bound = num * jnp.where(num >= 0.0, 1.0 / sA,
+                                            1.0 / sB)
+                    return lax.cond(bound <= amin_p,
+                                    lambda a: a, _run, acc)
 
                 def run_phase(a, n_ch=n_ch, chunk_body=chunk_body):
                     return lax.fori_loop(0, n_ch, chunk_body, a)
@@ -773,9 +823,10 @@ def _kernel(tmap_ref, soff_ref, z_org_ref, z_inner_ref, *refs, levels_meta,
                     s_first * m_min, s_last * m_min)
                 skip = (bound <= 0.0) | (jnp.min(acc) > 0.0)
             else:
-                dmax = dir_max(p, s_first, s_last)
-                bound = (dmax - z_org_min) * (1.0 / s_first)
-                skip = bound <= jnp.min(acc)
+                num = dir_max(p, s_first, s_last) - z_org_min
+                bound = num * jnp.where(num >= 0.0, 1.0 / s_first,
+                                        1.0 / s_last)
+                skip = bound <= amin_p
             if "no_skip" in _ABLATE:
                 acc = run_phase(acc)
             else:

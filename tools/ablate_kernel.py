@@ -83,6 +83,10 @@ def main():
         ("full", frozenset()),
         ("no_skip", frozenset({"no_skip"})),
         ("no_quad", frozenset({"no_quad"})),
+        ("approx_sqrt", frozenset({"approx_sqrt"})),
+        ("no_quad_valid", frozenset({"no_quad_valid"})),
+        ("no_strip_mm2", frozenset({"no_strip_mm2"})),
+        ("no_strip_mm1", frozenset({"no_strip_mm1"})),
         ("one_read", frozenset({"one_read"})),
         ("no_mip", frozenset({"no_mip"})),
         ("no_roll", frozenset({"no_roll"})),
