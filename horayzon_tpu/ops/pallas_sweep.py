@@ -194,7 +194,12 @@ def _kernel(tmap_ref, soff_ref, z_org_ref, z_inner_ref, *refs, levels_meta,
     out_ref = refs[2 * n_levels]
     win_refs = refs[2 * n_levels + 1:3 * n_levels + 1]
     pwin_refs = refs[3 * n_levels + 1:4 * n_levels + 1]
-    wmax_ref = refs[4 * n_levels + 1]   # SMEM (n_levels,): window maxima
+    wmax_ref = refs[4 * n_levels + 1]   # SMEM (n_levels + 1,): per-level
+    #                                     window maxima (shadow mode) and,
+    #                                     at index n_levels, the level-0
+    #                                     window MINIMUM (the parabola
+    #                                     overshoot floor of the dense
+    #                                     chunk-skip bound)
     sem = refs[4 * n_levels + 2]
     strip_ref = (refs[4 * n_levels + 3]
                  if _strip_scratch_shape(levels_meta, tile) is not None
@@ -263,6 +268,11 @@ def _kernel(tmap_ref, soff_ref, z_org_ref, z_inner_ref, *refs, levels_meta,
         _dma(0).wait()
         for p in range(n_lv_used):
             _dma_pool(p).wait()
+        # Level-0 window minimum: the floor of any dense-phase sample, used
+        # to bound the interpolating parabola's overshoot above the pooled
+        # maximum (a parabola through 3 equispaced samples in [lo, hi] can
+        # reach hi + (hi - lo)/8) in the d1 chunk-skip bound.
+        wmax_ref[n_levels] = jnp.min(win_refs[0][...])
 
     h, w = outer_shape
     z_org = z_org_ref[...]
@@ -574,10 +584,21 @@ def _kernel(tmap_ref, soff_ref, z_org_ref, z_inner_ref, *refs, levels_meta,
                             # stale (smaller) min only makes skips rarer,
                             # never unsafe (acc is non-decreasing)
                             acc_min = jnp.min(c[0])
-                        # sign-safe: terrain below the origin yields the
-                        # least-negative ratio at the far end of the range
-                        num = dir_max(0, sA, sB) - z_org_min
-                        bound = num * jnp.where(num >= 0.0, 1.0 / sA,
+                        # Skipped candidates include interior-parabola
+                        # stationary ratios, whose height can overshoot the
+                        # pooled sample maximum by (hi - lo)/8 (parabola
+                        # through 3 equispaced samples in [lo, hi]); lo is
+                        # floored by the level-0 window minimum.  The first
+                        # pair's interval starts at sA - step, so that is
+                        # both the strip start and the divisor for
+                        # non-negative numerators; terrain below the origin
+                        # yields the least-negative ratio at the far end.
+                        dmax = dir_max(0, sA - step, sB)
+                        num = (dmax - z_org_min
+                               + 0.125 * jnp.maximum(
+                                   dmax - wmax_ref[n_levels], 0.0))
+                        bound = num * jnp.where(num >= 0.0,
+                                                1.0 / (sA - step),
                                                 1.0 / sB)
                         c = lax.cond(bound <= acc_min, skip_g,
                                      run_g, c)
@@ -1165,7 +1186,7 @@ def pallas_forward_fn(z_outer, tilt_ramp, tile_map, shard_off, *,
     scratch_shapes = (
         [pltpu.VMEM((m[2], m[3]), jnp.float32) for m in levels_meta]
         + [pltpu.VMEM((m[4], m[5]), jnp.float32) for m in levels_meta]
-        + [pltpu.SMEM((len(levels_meta),), jnp.float32),
+        + [pltpu.SMEM((len(levels_meta) + 1,), jnp.float32),
            pltpu.SemaphoreType.DMA((2 * len(levels_meta),))])
     strip_shape = _strip_scratch_shape(levels_meta, (t0, t1))
     if strip_shape is not None:
@@ -1442,7 +1463,7 @@ def shadow_forward_fn(z_outer, z_org_r, z_inner_r, sun_table, tile_map,
     scratch_shapes = (
         [pltpu.VMEM((m[2], m[3]), jnp.float32) for m in levels_meta]
         + [pltpu.VMEM((m[4], m[5]), jnp.float32) for m in levels_meta]
-        + [pltpu.SMEM((len(levels_meta),), jnp.float32),
+        + [pltpu.SMEM((len(levels_meta) + 1,), jnp.float32),
            pltpu.SemaphoreType.DMA((2 * len(levels_meta),))])
     strip_shape = _strip_scratch_shape(levels_meta, (t0, t1))
     if strip_shape is not None:

@@ -66,11 +66,19 @@ def main():
                 mi = m.astype(jnp.int32)
                 x = acc
                 ns = 8 if mode == "stream8" else 4
+                # slab dims follow the tile (the production covering slab of
+                # a (t0+1, t1+1) read); offsets derived from w0/w1 so any
+                # --tile stays in bounds (previously hardcoded 136x1152,
+                # which read out of bounds below (128, 1024) tiles)
+                s0 = _round_up(t0 + 8, 8)
+                s1 = _round_up(t1 + 128, 128)
+                n_j = max(1, (w1 - s1) // 128)
                 for r in range(ns):
                     ia = pl.multiple_of(
-                        (jax.lax.rem(mi * 8 + r * 16, w0 - 144) // 8) * 8,
+                        (jax.lax.rem(mi * 8 + r * 16, w0 - s0) // 8) * 8,
                         8)
-                    slab = win_ref[pl.ds(ia, 136), pl.ds((r % 3) * 128, 1152)]
+                    slab = win_ref[pl.ds(ia, s0),
+                                   pl.ds((r % n_j) * 128, s1)]
                     x = jnp.maximum(x, slab[:t0, :t1])
                 return x
             if mode == "vpu":
