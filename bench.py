@@ -113,17 +113,24 @@ def main():
             tile=bench_tile)
 
     def time_engine(run):
-        # Warm-up / compile.  NOTE: timing forces a device->host scalar
-        # readback per iteration — on remote-tunnel backends
-        # block_until_ready alone can return before execution completes,
-        # yielding bogus (too fast) numbers.
+        # Warm-up / compile, then time a BATCH of dispatches closed by one
+        # dependent scalar readback.  The readback (not block_until_ready,
+        # which can return early on remote-tunnel backends) forces real
+        # completion of every dispatch in the batch; batching amortises the
+        # host<->device roundtrip latency (~25 ms through a tunnel, ~0 on
+        # a local chip) that a per-iteration readback would add to every
+        # sample.
         hori_mean = float(jnp.mean(run()))
         times = []
-        for _ in range(args.iters):
+        for _ in range(2):
             t0 = time.perf_counter()
-            hori_mean = float(jnp.mean(run()))
-            times.append(time.perf_counter() - t0)
+            acc = sum(jnp.mean(run()) for _ in range(args.iters))
+            float(acc)
+            times.append((time.perf_counter() - t0) / args.iters)
         return min(times), hori_mean
+
+    def time_run(run):
+        return time_engine(run)[0]
 
     dt_xla, hori_mean_xla = time_engine(run_xla)
     try:
@@ -177,59 +184,79 @@ def main():
                 azim_num=a_full, dist_search=args.dist * 1000.0,
                 hori_acc=args.acc, tile=bench_tile)
 
-        float(jnp.mean(run_full()))        # compile + warm
-        times = []
-        for _ in range(args.iters):
-            t0 = time.perf_counter()
-            float(jnp.mean(run_full()))
-            times.append(time.perf_counter() - t0)
-        dt_full = min(times)
+        dt_full = time_run(run_full)
         result["azim_full"] = a_full
         result["azim_full_wall_time_s"] = dt_full
         result["azim_full_rays_per_s"] = (
             cells * a_full * REF_RAYS_PER_CELL_AZIM / dt_full)
 
-    # Masked-domain row: wall time must track the considered fraction
-    # (reference skips masked cells, horizon_comp.cpp:685-695,749; here
-    # fully-masked kernel tiles are never launched).
-    if args.mask_frac > 0 and engine == "pallas":
-        # Island-style mask: a disc covering (1 - mask_frac) of the domain
-        yy, xx = np.mgrid[0:in0, 0:in1]
-        cy0, cx0 = in0 * 0.45, in1 * 0.55
-        r_disc = np.sqrt((1.0 - args.mask_frac) * in0 * in1 / np.pi)
-        mask = ((yy - cy0) ** 2 + (xx - cx0) ** 2
-                <= r_disc ** 2).astype(np.uint8)
+    # Masked-domain rows: wall time must track the considered fraction
+    # (reference skips masked cells, horizon_comp.cpp:685-695,749).  Three
+    # mask geometries: a centred disc (the adversarial case for tile
+    # granularity), a compact island (the South-Georgia ocean-mask shape,
+    # gridded_curved_DEM_masked.py), and scattered patches (the NASADEM
+    # glacier shape).  Tiles with no unmasked cell are never launched; the
+    # tile shape is chosen per mask by the measured cost model
+    # (horizon._masked_tile_choice) and partially-masked tiles skip
+    # chunks/phases based on their unmasked cells only (mask-aware
+    # accumulator init).
+    def masked_row(key, mask):
+        from horayzon_tpu import horizon as _hzmod
         frac = float(mask.mean())
-        m_tile = (128, 256)
-        n_active = pallas_sweep.tile_schedule((in0, in1), m_tile,
-                                              mask).shape[0]
-        n_total = (in0 // m_tile[0]) * (in1 // m_tile[1])
+        (br0, bc0), (p0, p1), m_tile, use_mask = _hzmod._masked_tile_choice(
+            (h, w), (args.halo, args.halo), (in0, in1), mask)
+        mask_pad = np.zeros((p0, p1), dtype=np.uint8)
+        sub = mask[br0:, bc0:]
+        mask_pad[:sub.shape[0], :sub.shape[1]] = sub[:p0, :p1]
+        n_active = pallas_sweep.tile_schedule((p0, p1), m_tile,
+                                              mask_pad).shape[0]
+        n_total = (p0 // m_tile[0]) * (p1 // m_tile[1])
+        if not use_mask:
+            mask_pad = None
 
         def run_masked():
             return pallas_sweep.horizon_sweep_pallas(
                 z_dev, dx=args.dx, dy=-args.dx,
-                offset=(args.halo, args.halo), inner_shape=(in0, in1),
+                offset=(args.halo + br0, args.halo + bc0),
+                inner_shape=(p0, p1),
                 azim_num=args.azim, dist_search=args.dist * 1000.0,
-                hori_acc=args.acc, tile=m_tile, mask=mask)
+                hori_acc=args.acc, tile=m_tile, mask=mask_pad)
 
-        float(jnp.mean(run_masked()))      # compile + warm
-        times = []
-        for _ in range(args.iters):
-            t0 = time.perf_counter()
-            float(jnp.mean(run_masked()))
-            times.append(time.perf_counter() - t0)
-        dt_masked = min(times)
-        result["masked_considered_frac"] = frac
-        result["masked_active_tile_frac"] = n_active / n_total
-        result["masked_wall_time_s"] = dt_masked
-        result["masked_speedup"] = dt / dt_masked
+        dt_masked = time_run(run_masked)
+        result[key + "_considered_frac"] = frac
+        result[key + "_tile"] = list(m_tile)
+        result[key + "_active_tile_frac"] = n_active / n_total
+        result[key + "_wall_time_s"] = dt_masked
+        result[key + "_speedup"] = dt / dt_masked
+
+    if args.mask_frac > 0 and engine == "pallas":
+        yy, xx = np.mgrid[0:in0, 0:in1]
+        # disc covering (1 - mask_frac) of the domain
+        cy0, cx0 = in0 * 0.45, in1 * 0.55
+        r_disc = np.sqrt((1.0 - args.mask_frac) * in0 * in1 / np.pi)
+        masked_row("masked", ((yy - cy0) ** 2 + (xx - cx0) ** 2
+                              <= r_disc ** 2).astype(np.uint8))
+        # compact island (~7.7% considered, the South Georgia fraction)
+        ry, rx = in0 * 0.22, in1 * 0.11
+        masked_row("masked_island",
+                   (((yy - in0 * 0.5) / ry) ** 2
+                    + ((xx - in1 * 0.5) / rx) ** 2 <= 1.0).astype(np.uint8))
+        # scattered glacier-style patches (~8% considered)
+        rng = np.random.default_rng(7)
+        m_sc = np.zeros((in0, in1), dtype=np.uint8)
+        for _ in range(40):
+            cy1, cx1 = rng.uniform(0, in0), rng.uniform(0, in1)
+            rr = rng.uniform(18.0, 46.0)
+            m_sc |= ((yy - cy1) ** 2 + (xx - cx1) ** 2
+                     <= rr ** 2).astype(np.uint8)
+        masked_row("masked_scattered", m_sc)
         result["masked_note"] = (
-            f"tile-skipping engine at tile={m_tile}: fully-masked tiles "
-            "are never launched, so wall time tracks the ACTIVE-TILE "
-            "fraction (disc masks overlap more tiles than their area "
-            "share; per-cell skipping inside active tiles would need "
-            "per-lane predication the reference's scalar loop gets for "
-            "free)")
+            "fully-masked tiles are never launched; tile shape chosen per "
+            "mask by the measured cost model; partially masked tiles skip "
+            "marching chunks/phases from their unmasked cells only "
+            "(mask-aware init).  Sub-(8,128) cell granularity is not "
+            "reachable on TPU vector units - see BASELINE.md masked-domain "
+            "analysis")
 
     # Shadow benchmark: one sun position = one ray/cell in the reference
     # (shadow_comp.cpp:386-491).  A 16-sun track batches through the fused
@@ -260,13 +287,7 @@ def main():
             tile=bench_tile)
 
     try:
-        hm = float(jnp.mean(run_shadow()))  # warm-up
-        times_sh = []
-        for _ in range(args.iters):
-            t0 = time.perf_counter()
-            hm = float(jnp.mean(run_shadow()))
-            times_sh.append(time.perf_counter() - t0)
-        dt_sh = min(times_sh) / n_sun
+        dt_sh = time_run(run_shadow) / n_sun
         result["shadow_engine"] = "pallas"
     except Exception:
         from horayzon_tpu.ops import shadow_scan
@@ -278,13 +299,7 @@ def main():
                 z_dev, z_org, jnp.float32(0.2), u_cells, args.dx, diag,
                 (args.halo, args.halo), (in0, in1))
 
-        hm = float(jnp.mean(run_scan()))
-        times_sh = []
-        for _ in range(args.iters):
-            t0 = time.perf_counter()
-            hm = float(jnp.mean(run_scan()))
-            times_sh.append(time.perf_counter() - t0)
-        dt_sh = min(times_sh)
+        dt_sh = time_run(run_scan)
         result["shadow_engine"] = "scan"
         result["shadow_engine_note"] = (
             "log-doubling scan fallback: uses a domain-mean ray slope "

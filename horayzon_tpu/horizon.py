@@ -64,12 +64,121 @@ def _mask_bbox(mask):
 
 
 #: Measured per-cell wall-time of the fused kernel by lane-tile width,
-#: relative to t1=256 (tools/ablate_kernel.py --tile, one v5e chip, bench
-#: shape, round 3: 0.2211 s @ 256, 0.1832 s @ 512, 0.1710 s @ 1024;
-#: 0.1821 s @ 2048 and 0.1753/0.1786 s @ t0=256 were worse).  Wider tiles
-#: amortise the aligned-slab roll margins; the table trades that against
-#: computing extra padded columns.
-_LANE_TILE_COST = {256: 1.0, 512: 0.829, 1024: 0.773}
+#: relative to t1=256, keyed by TPU device kind with a conservative
+#: fallback (tools/ablate_kernel.py --tile writes updated entries; v5e
+#: values measured round 3: 0.2211 s @ 256, 0.1832 s @ 512, 0.1710 s @
+#: 1024; 0.1821 s @ 2048 and 0.1753/0.1786 s @ t0=256 were worse).  Wider
+#: tiles amortise the aligned-slab roll margins; the table trades that
+#: against computing extra padded columns.
+_LANE_TILE_COST_TABLES = {
+    "TPU v5 lite": {256: 1.0, 512: 0.811, 1024: 0.749},
+}
+#: Unmeasured devices: the slab-margin geometry (cols rounded up to
+#: width + 384 vs width + 128) favours wide tiles on every TPU
+#: generation, but by an unmeasured factor — assume a mild one.
+_LANE_TILE_COST_FALLBACK = {256: 1.0, 512: 0.93, 1024: 0.90}
+
+#: Measured wall time of the bench-shape sweep (1024^2 inner, 32 azimuths,
+#: 20 km / 25 m search) by full kernel tile shape, relative to
+#: (128, 1024), keyed by device kind (tools/ablate_kernel.py --tile;
+#: round-4 measurements with the ~25 ms tunnel roundtrip latency
+#: subtracted from every wall time before forming ratios).  Thin tiles pay
+#: aligned-slab margins plus per-(tile, azimuth) mip-phase setup that does
+#: not shrink with the tile, hence the steep row scaling.  Drives the
+#: masked-run tile chooser (:func:`_masked_tile_choice`).
+_TILE_COST_TABLES = {
+    "TPU v5 lite": {
+        (128, 1024): 1.000, (128, 512): 1.083, (128, 256): 1.336,
+        (64, 1024): 1.102, (64, 512): 1.307, (64, 256): 1.664,
+        (32, 1024): 1.343, (32, 512): 1.710, (32, 256): 2.372,
+        (16, 1024): 1.849, (16, 512): 2.550, (16, 256): 4.038,
+        (8, 256): 7.84,
+    },
+}
+#: Unmeasured devices: restrict the masked menu to 128-row tiles (the
+#: lane-width ratios mirror the fallback lane table; thin-row costs are
+#: too device-dependent to guess in a chooser that MINIMISES cost).
+_TILE_COST_FALLBACK = {
+    (128, 1024): 1.000, (128, 512): 1.08, (128, 256): 1.29,
+}
+
+
+def _device_kind():
+    import jax
+    try:
+        return (getattr(jax.devices()[0], "device_kind", "") or "").strip()
+    except Exception:
+        return ""
+
+
+def _lane_tile_cost():
+    return _LANE_TILE_COST_TABLES.get(_device_kind(),
+                                      _LANE_TILE_COST_FALLBACK)
+
+
+def _masked_tile_choice(outer_shape, offset, inner_shape, mask):
+    """Masked-run kernel tile + placement minimising modelled wall time.
+
+    The compute region is first cropped to the bounding box of unmasked
+    cells and the tile grid re-based to its corner (grid-origin-aligned
+    tiles waste up to a full tile row/column on each side of a compact
+    mask).  For each measured tile shape, the tiles with at least one
+    unmasked cell are counted (only those launch —
+    pallas_sweep.tile_schedule) and scored
+    ``active_tiles * t0 * t1 * measured_cost(t0, t1)``.  Thin tiles track
+    a mask's shape more closely but cost more per cell (aligned-slab
+    margins, per-tile mip setup), so the optimum depends on the mask
+    geometry; the measured table settles it per device.
+
+    Returns ``((r0, c0), (b0p, b1p), (t0, t1), use_mask)``: compute the
+    padded block ``(b0p, b1p)`` starting at inner-relative cell
+    ``(r0, c0)`` with tile ``(t0, t1)``.  ``use_mask`` False means the
+    per-tile mask machinery does not pay for this geometry (e.g. a
+    scattered mask touching every tile): run the dense kernel over the
+    block and let the caller apply the fill value.  None if no candidate
+    fits the outer grid, or if no cell is unmasked (callers fill the
+    whole output).
+    """
+    from horayzon_tpu.ops import pallas_sweep as _pallas
+
+    def up(x, m):
+        return ((x + m - 1) // m) * m
+
+    table = _TILE_COST_TABLES.get(_device_kind(), _TILE_COST_FALLBACK)
+    mask = np.asarray(mask)
+    rows = np.flatnonzero(mask.any(axis=1))
+    cols = np.flatnonzero(mask.any(axis=0))
+    if rows.size == 0:
+        return None
+    r0, c0 = int(rows[0]), int(cols[0])
+    b0 = int(rows[-1]) + 1 - r0
+    b1 = int(cols[-1]) + 1 - c0
+    sub = mask[r0:r0 + b0, c0:c0 + b1]
+    best = None
+    dense_cost = None
+    for (t0, t1), r in table.items():
+        b0p, b1p = up(b0, t0), up(b1, t1)
+        if (offset[0] + r0 + b0p > outer_shape[0]
+                or offset[1] + c0 + b1p > outer_shape[1]):
+            continue
+        mask_pad = np.zeros((b0p, b1p), dtype=np.uint8)
+        mask_pad[:b0, :b1] = sub
+        n_total = (b0p // t0) * (b1p // t1)
+        n_active = _pallas.tile_schedule((b0p, b1p), (t0, t1),
+                                         mask_pad).shape[0]
+        cost = n_active * t0 * t1 * r
+        if best is None or cost < best[0]:
+            best = (cost, (b0p, b1p), (t0, t1))
+        d_cost = n_total * t0 * t1 * r
+        if dense_cost is None or d_cost < dense_cost[0]:
+            dense_cost = (d_cost, (b0p, b1p), (t0, t1))
+    if best is None:
+        return None
+    if best[0] >= 0.95 * dense_cost[0]:
+        # masking saves < 5% of modelled work: the per-call mask overhead
+        # (host->device transfer, extra input blocks) would eat it
+        return (r0, c0), dense_cost[1], dense_cost[2], False
+    return (r0, c0), best[1], best[2], True
 
 
 def _pallas_padded_shape(outer_shape, offset, inner_shape):
@@ -80,8 +189,8 @@ def _pallas_padded_shape(outer_shape, offset, inner_shape):
     in0, in1 = inner_shape
     t0 = 128 if in0 >= 128 else up(in0, 8)
     if in1 >= 256:
-        t1 = min(_LANE_TILE_COST,
-                 key=lambda t: up(in1, t) * _LANE_TILE_COST[t])
+        lane_cost = _lane_tile_cost()
+        t1 = min(lane_cost, key=lambda t: up(in1, t) * lane_cost[t])
     else:
         t1 = up(in1, 128)
     in0p, in1p = up(in0, t0), up(in1, t1)
@@ -198,9 +307,22 @@ def horizon_gridded(
                                                      vec_north)
 
         pl_shape = None
+        use_mask = False
+        blk0 = (0, 0)
         if engine in ("auto", "pallas") and planar:
-            pl_shape = _pallas_padded_shape(
-                z.shape, (offset_0, offset_1), inner_shape)
+            if mask.min() == 0:
+                # Masked run: compute block re-based to the unmasked
+                # bounding box; tile shape chosen by the measured cost
+                # model (thin tiles skip more masked cells but cost more
+                # per cell); see _masked_tile_choice.
+                choice = _masked_tile_choice(
+                    z.shape, (offset_0, offset_1), inner_shape, mask)
+                if choice is not None:
+                    blk0, pl_shape, use_mask = (
+                        choice[0], choice[1:3], choice[3])
+            else:
+                pl_shape = _pallas_padded_shape(
+                    z.shape, (offset_0, offset_1), inner_shape)
         use_pallas = (pl_shape is not None
                       and (engine == "pallas"
                            or (engine == "auto" and _on_tpu())))
@@ -220,18 +342,35 @@ def horizon_gridded(
             from horayzon_tpu.ops import pallas_sweep as _pallas
             (in0p, in1p), tile = pl_shape
             # Mask-driven work skipping: tiles with no unmasked cell never
-            # run (reference horizon_comp.cpp:749 skips masked cells).
+            # run (reference horizon_comp.cpp:749 skips masked cells) and
+            # partially masked tiles skip chunks/phases from their
+            # unmasked cells only (mask-aware init) — unless the chooser
+            # found the mask geometry not worth the mask overhead.
+            br0, bc0 = blk0
             mask_pad = None
-            if mask.min() == 0:
+            if use_mask:
                 mask_pad = np.zeros((in0p, in1p), dtype=np.uint8)
-                mask_pad[:inner_shape[0], :inner_shape[1]] = mask
-            hori = _pallas.horizon_sweep_pallas(
-                z, dx=grid.dx, dy=grid.dy, offset=(offset_0, offset_1),
+                sub = mask[br0:, bc0:]
+                mask_pad[:sub.shape[0], :sub.shape[1]] = \
+                    sub[:in0p, :in1p]
+            hori_b = _pallas.horizon_sweep_pallas(
+                z, dx=grid.dx, dy=grid.dy,
+                offset=(offset_0 + br0, offset_1 + bc0),
                 inner_shape=(in0p, in1p), azim_num=azim_num,
                 dist_search=dist_search * 1000.0, hori_acc=hori_acc,
                 elev_ang_low_lim=elev_ang_low_lim,
                 ray_org_elev=ray_org_elev, tile=tile, mask=mask_pad)
-            hori = hori[:inner_shape[0], :inner_shape[1]]
+            if blk0 == (0, 0):
+                hori = hori_b[:inner_shape[0], :inner_shape[1]]
+            else:
+                # paste the bbox block into the full inner output; cells
+                # outside the block are masked and get hori_fill below
+                v0 = min(in0p, inner_shape[0] - br0)
+                v1 = min(in1p, inner_shape[1] - bc0)
+                hori = jnp.full(inner_shape + (azim_num,),
+                                jnp.float32(hori_fill))
+                hori = hori.at[br0:br0 + v0, bc0:bc0 + v1].set(
+                    hori_b[:v0, :v1])
         else:
             # Mask-driven work reduction (reference skips masked cells,
             # horizon_comp.cpp:749): crop the sweep to the bounding box of

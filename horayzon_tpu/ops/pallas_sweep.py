@@ -37,7 +37,11 @@ from horayzon_tpu.ops import mip as _mip
 from horayzon_tpu.ops import sweep as _sweep
 
 _NEG_INIT = -3.0e38
+_POS_INIT = 3.0e38
 _DEN_EPS = 1.0e-6
+#: argmax-forward sentinel for "no candidate won" (masked cells / the
+#: untouched init); larger than any real candidate id
+ID_NONE = 1 << 30
 
 #: Profiling-only ablation flags (static: consulted at trace time, so each
 #: setting compiles a different kernel).  Used by tools/ablate_kernel.py to
@@ -131,7 +135,7 @@ def _shifted_window(win_ref, start_i, start_j, rows, cols):
 def _kernel(tmap_ref, soff_ref, z_org_ref, z_inner_ref, *refs, levels_meta,
             phases_meta, tile, a_chunk, a_num, off0, off1, outer_shape, dx,
             dy, step, dist, near_exact, n_safe, mode="horizon",
-            grid_origin=(0.0, 0.0)):
+            grid_origin=(0.0, 0.0), has_mask=False, emit_argmax=False):
     """Pallas kernel body (horizon sweep / shadow occlusion metric).
 
     The grid is 2-D: (tile slot, azimuth/sun chunk).  Scalar-prefetch
@@ -166,6 +170,18 @@ def _kernel(tmap_ref, soff_ref, z_org_ref, z_inner_ref, *refs, levels_meta,
     anywhere along the march means the cell is occluded
     (shadow_comp.cpp:454-467 semantics, tfar = domain diagonal)."""
     shadow = mode == "shadow"
+    mask_ref = None
+    if has_mask:
+        # Per-cell mask tile (float 0/1).  Masked cells start their running
+        # max at +inf, so (a) every tile-level min reduction feeding the
+        # early-exit bounds ranges over *unmasked* cells only — partially
+        # masked tiles skip chunks/phases as aggressively as their unmasked
+        # cells allow (the sub-tile analog of the reference's per-cell mask
+        # skip, horizon_comp.cpp:749) — and (b) masked outputs saturate and
+        # are overwritten by the caller's fill value.  Unmasked outputs are
+        # bit-equal to the unmasked kernel (skips are value-exact).
+        mask_ref = refs[0]
+        refs = refs[1:]
     if shadow:
         sun_ref = refs[0]
         refs = refs[1:]
@@ -192,16 +208,25 @@ def _kernel(tmap_ref, soff_ref, z_org_ref, z_inner_ref, *refs, levels_meta,
     lvl_refs = refs[:n_levels]
     pool_refs = refs[n_levels:2 * n_levels]
     out_ref = refs[2 * n_levels]
-    win_refs = refs[2 * n_levels + 1:3 * n_levels + 1]
-    pwin_refs = refs[3 * n_levels + 1:4 * n_levels + 1]
-    wmax_ref = refs[4 * n_levels + 1]   # SMEM (n_levels + 1,): per-level
+    idout_ref = None
+    n_out = 1
+    if emit_argmax:
+        # Gradient-path forward: a second int32 output records, per
+        # (azimuth, cell), the id of the candidate that produced the
+        # running max (see _candidate_ids) so the backward kernel replays
+        # only winning candidates (SURVEY.md section 7 step 8).
+        idout_ref = refs[2 * n_levels + 1]
+        n_out = 2
+    win_refs = refs[2 * n_levels + n_out:3 * n_levels + n_out]
+    pwin_refs = refs[3 * n_levels + n_out:4 * n_levels + n_out]
+    wmax_ref = refs[4 * n_levels + n_out]   # SMEM (n_levels + 1,): per-level
     #                                     window maxima (shadow mode) and,
     #                                     at index n_levels, the level-0
     #                                     window MINIMUM (the parabola
     #                                     overshoot floor of the dense
     #                                     chunk-skip bound)
-    sem = refs[4 * n_levels + 2]
-    strip_ref = (refs[4 * n_levels + 3]
+    sem = refs[4 * n_levels + n_out + 1]
+    strip_ref = (refs[4 * n_levels + n_out + 2]
                  if _strip_scratch_shape(levels_meta, tile) is not None
                  else None)             # mip strip buffer (see _STRIP_GK)
 
@@ -343,7 +368,8 @@ def _kernel(tmap_ref, soff_ref, z_org_ref, z_inner_ref, *refs, levels_meta,
             return ((1.0 - fi) * top + fi * bot,
                     di.astype(jnp.int32), dj.astype(jnp.int32))
 
-        def quad_update(acc, a_c, b_c, h0, s_start, length, t_lo, extra):
+        def quad_update(acc, a_c, b_c, h0, s_start, length, t_lo, extra,
+                        cid=None):
             """Max-update with the parabola's interior stationary value.
 
             Horizon: at the stationary point t* of (P(t) + C)/(s + t) with
@@ -391,15 +417,28 @@ def _kernel(tmap_ref, soff_ref, z_org_ref, z_inner_ref, *refs, levels_meta,
                         * (u - a_c * (hi * hi)) < 0.0
             if extra is not None:
                 valid = valid & extra
-            return jnp.maximum(acc, jnp.where(valid, r_int, _NEG_INIT))
+            cand = jnp.where(valid, r_int, _NEG_INIT)
+            if not emit_argmax:
+                return jnp.maximum(acc, cand)
+            a0, i0 = acc
+            upd = cand > a0
+            return (jnp.where(upd, cand, a0), jnp.where(upd, cid, i0))
 
-        def point_update(acc, he, s_end):
+        def point_update(acc, he, s_end, cid=None):
             if shadow:
                 return jnp.maximum(acc, he - z_org - s_end * m)
-            return jnp.maximum(acc, (he - z_org) * (1.0 / s_end))
+            cand = (he - z_org) * (1.0 / s_end)
+            if not emit_argmax:
+                return jnp.maximum(acc, cand)
+            a0, i0 = acc
+            upd = cand > a0
+            return (jnp.where(upd, cand, a0), jnp.where(upd, cid, i0))
 
         inv_l0 = 1.0 / step
         inv_l1 = 0.5 / step
+
+        def _val(a):
+            return a[0] if emit_argmax else a
 
         def dir_max(p, sA, sB):
             """Directional terrain bound: max of the 8x8-pooled level-p
@@ -460,7 +499,7 @@ def _kernel(tmap_ref, soff_ref, z_org_ref, z_inner_ref, *refs, levels_meta,
             s_start = s_end - step
             hm, dim, djm = read0(s_end - 0.5 * step)
             he, die, dje = read0(s_end)
-            acc = point_update(acc, he, s_end)
+            acc = point_update(acc, he, s_end, 2 * m)
             a_c = (2.0 * he + 2.0 * h1 - 4.0 * hm) * (inv_l0 * inv_l0)
             b_c = (4.0 * hm - 3.0 * h1 - he) * inv_l0
             extra = None
@@ -468,7 +507,8 @@ def _kernel(tmap_ref, soff_ref, z_org_ref, z_inner_ref, *refs, levels_meta,
             if masked:
                 v_end = inside0(die, dje)
                 extra = inside0(dim, djm) & v_end
-            acc = quad_update(acc, a_c, b_c, h1, s_start, step, 0.0, extra)
+            acc = quad_update(acc, a_c, b_c, h1, s_start, step, 0.0, extra,
+                              2 * m + 1)
             return acc, he, v_end
 
         # ---- d1 mid field: one read per step; parabola through the last
@@ -488,12 +528,12 @@ def _kernel(tmap_ref, soff_ref, z_org_ref, z_inner_ref, *refs, levels_meta,
             s_a = (m + 1).astype(jnp.float32) * step
             s_b = s_a + step
             h_a, dia, dja = read0(s_a)
-            acc = point_update(acc, h_a, s_a)
+            acc = point_update(acc, h_a, s_a, 2 * m)
             if "one_read" in _ABLATE:
                 h_b, dib, djb = h_a, dia, dja
             else:
                 h_b, dib, djb = read0(s_b)
-            acc = point_update(acc, h_b, s_b)
+            acc = point_update(acc, h_b, s_b, 2 * (m + 1))
             a_c = (2.0 * h_b + 2.0 * h1 - 4.0 * h_a) * (inv_l1 * inv_l1)
             b_c = (4.0 * h_a - 3.0 * h1 - h_b) * inv_l1
             extra = None
@@ -503,7 +543,7 @@ def _kernel(tmap_ref, soff_ref, z_org_ref, z_inner_ref, *refs, levels_meta,
                 v_b = inside0(dib, djb)
                 extra = (v1 > 0.5) & v_a & v_b
             acc = quad_update(acc, a_c, b_c, h1, s_b - 2.0 * step,
-                              2.0 * step, 0.0, extra)
+                              2.0 * step, 0.0, extra, 2 * (m + 1) + 1)
             return acc, h_a, h_b, v_a, v_b
 
         def d1_single(m, acc, h2, h1, masked, v2=None, v1=None):
@@ -511,7 +551,7 @@ def _kernel(tmap_ref, soff_ref, z_org_ref, z_inner_ref, *refs, levels_meta,
             only (t_lo = step), using the carried h2/h1 history."""
             s_end = (m + 1).astype(jnp.float32) * step
             he, die, dje = read0(s_end)
-            acc = point_update(acc, he, s_end)
+            acc = point_update(acc, he, s_end, 2 * m)
             a_c = (2.0 * he + 2.0 * h2 - 4.0 * h1) * (inv_l1 * inv_l1)
             b_c = (4.0 * h1 - 3.0 * h2 - he) * inv_l1
             extra = None
@@ -520,11 +560,18 @@ def _kernel(tmap_ref, soff_ref, z_org_ref, z_inner_ref, *refs, levels_meta,
                 v_end = inside0(die, dje)
                 extra = (v2 > 0.5) & (v1 > 0.5) & v_end
             acc = quad_update(acc, a_c, b_c, h2, s_end - 2.0 * step,
-                              2.0 * step, step, extra)
+                              2.0 * step, step, extra, 2 * m + 1)
             return acc, he, v_end
 
-        neg = z_org * 0.0 + _NEG_INIT
+        if mask_ref is None:
+            neg = z_org * 0.0 + _NEG_INIT
+        else:
+            neg = jnp.where(mask_ref[...] > 0.5, _NEG_INIT, _POS_INIT)
         ones = z_org * 0.0 + 1.0
+        if emit_argmax:
+            # no-winner sentinel: larger than any candidate id, so range
+            # presence tests in the backward never match it
+            neg = (neg, jnp.full((t0, t1), ID_NONE, jnp.int32))
         acc, h2, h1 = neg, z_inner, z_inner
 
         if ns2 > 0:
@@ -583,7 +630,7 @@ def _kernel(tmap_ref, soff_ref, z_org_ref, z_inner_ref, *refs, levels_meta,
                             # one reduction reused by every later chunk: a
                             # stale (smaller) min only makes skips rarer,
                             # never unsafe (acc is non-decreasing)
-                            acc_min = jnp.min(c[0])
+                            acc_min = jnp.min(_val(c[0]))
                         # Skipped candidates include interior-parabola
                         # stationary ratios, whose height can overshoot the
                         # pooled sample maximum by (hi - lo)/8 (parabola
@@ -651,6 +698,13 @@ def _kernel(tmap_ref, soff_ref, z_org_ref, z_inner_ref, *refs, levels_meta,
         #
         # No masks: mip reads are nearest (no blending), so off-grid
         # samples return the sentinel and never win the running max.
+        n_dense_ids = 2 * phases_meta[0][1]
+        mip_id_off = [0] * len(phases_meta)
+        _off = n_dense_ids
+        for _p in range(1, len(phases_meta)):
+            mip_id_off[_p] = _off
+            _off += phases_meta[_p][1]
+
         for p in range(1, 1 if "no_mip" in _ABLATE else len(phases_meta)):
             @pl.when((ak == 0) & (k_local == 0))
             def _(p=p):
@@ -662,7 +716,7 @@ def _kernel(tmap_ref, soff_ref, z_org_ref, z_inner_ref, *refs, levels_meta,
             # and every chunk-level skip inside it (stale-min-safe: acc is
             # non-decreasing, so reusing the phase-entry min only makes
             # skips rarer, never unsafe)
-            amin_p = None if shadow else jnp.min(acc)
+            amin_p = None if shadow else jnp.min(_val(acc))
             kpow = 2 ** lvl
             wpad = levels_meta[p][1]
             s_last = s_first + (n_m - 1) * step_l
@@ -722,7 +776,7 @@ def _kernel(tmap_ref, soff_ref, z_org_ref, z_inner_ref, *refs, levels_meta,
                     hs = hs[:, :t1]
                 else:
                     hs = _roll_neg(up, al_j, 1)[:, :t1]
-                return point_update(acc, hs, s)
+                return point_update(acc, hs, s, mip_id_off[p] + m)
 
             # ---- Strip-chunk path: amortise the upsample over a chunk ----
             # Up to _STRIP_GK/k consecutive steps read from ONE fine-
@@ -797,14 +851,15 @@ def _kernel(tmap_ref, soff_ref, z_org_ref, z_inner_ref, *refs, levels_meta,
                                 rows[:, :sg1], s_opg,
                                 preferred_element_type=jnp.float32)
 
-                        def g_body(g, acc):
+                        def g_body(g, acc, p=p):
                             m = jnp.minimum(m_lo + g, n_m - 1)  # tail
                             s = s_of(m)                  # re-reads (no-op)
                             si, sj, ai, aj = stw(s)
                             di = ai + (si - q0_i) * kpow
                             dj = aj + (sj - q0_j) * kpow
                             hs = _shifted_window(strip_ref, di, dj, t0, t1)
-                            return point_update(acc, hs, s)
+                            return point_update(acc, hs, s,
+                                                mip_id_off[p] + m)
                         return lax.fori_loop(0, g_n, g_body, acc)
 
                     if shadow or "no_skip" in _ABLATE:
@@ -858,6 +913,9 @@ def _kernel(tmap_ref, soff_ref, z_org_ref, z_inner_ref, *refs, levels_meta,
             else:
                 acc = lax.cond(skip, lambda a: a, run_phase, acc)
 
+        if emit_argmax:
+            acc, aid = acc
+            idout_ref[k_local, :, :] = aid
         if ramp_refs is not None:
             acc = acc + ux * ramp_refs[0][...] + uy * ramp_refs[1][...]
         # atan is applied outside the kernel (no Pallas TPU lowering);
@@ -1058,7 +1116,12 @@ def horizon_sweep_pallas(z_outer, *, dx, dy, offset, inner_shape, azim_num,
                                 "tile", "a_chunk", "offset", "inner_shape",
                                 "dx", "dy", "step", "dist", "near_ex",
                                 "n_safe", "rel_err", "max_level")})
-    return _pallas_hz(cfg, z_outer, tilt_ramp)
+    mask_arr = None
+    if mask is not None:
+        # uint8 on the wire (4x less host->device traffic than f32 over
+        # slow links); pallas_forward_fn casts to f32 on device under jit
+        mask_arr = jnp.asarray(np.asarray(mask, dtype=np.uint8))
+    return _pallas_hz(cfg, z_outer, tilt_ramp, mask_arr)
 
 
 #: Extra sentinel margins (lo, hi_rows, hi_cols) the Pallas kernel needs
@@ -1096,7 +1159,8 @@ def pallas_forward_fn(z_outer, tilt_ramp, tile_map, shard_off, *,
                       levels_meta, phases_meta, pads, tile, a_chunk, a_num,
                       n_az_out, offset, inner_shape, dx, dy, step, dist,
                       near_ex, n_safe, ray_org_elev, elev_lims, interpret,
-                      pyramid=None, inner_start=None, outer_shape=None):
+                      pyramid=None, inner_start=None, outer_shape=None,
+                      mask_arr=None):
     """Unjitted fused forward: mip pyramid + padding + Pallas sweep + arctan.
 
     Safe to embed in ``shard_map`` (the jitted single-device entry is
@@ -1161,7 +1225,8 @@ def pallas_forward_fn(z_outer, tilt_ramp, tile_map, shard_off, *,
                      else tuple(outer_shape)),
         dx=dx, dy=dy, step=step, dist=dist,
         near_exact=near_ex, n_safe=n_safe,
-        mode="horizon" if tilt_ramp is None else "horizon_tilt")
+        mode="horizon" if tilt_ramp is None else "horizon_tilt",
+        has_mask=mask_arr is not None)
 
     # Per-azimuth (sin, cos) table in f32: the host-side XLA tables and the
     # kernel must derive mip sample indices from bit-identical trig (see
@@ -1175,6 +1240,10 @@ def pallas_forward_fn(z_outer, tilt_ramp, tile_map, shard_off, *,
         (t0, t1), lambda ti, ak, tm, so: (tm[ti, 0], tm[ti, 1]),
         memory_space=pltpu.VMEM)
     in_specs = [tile_spec, tile_spec]                  # z_org, z_inner
+    mask_args = ()
+    if mask_arr is not None:
+        in_specs += [tile_spec]                        # per-cell mask
+        mask_args = (jnp.asarray(mask_arr, dtype=jnp.float32),)
     in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM)]   # trig table
     ramp_args = ()
     if tilt_ramp is not None:
@@ -1207,10 +1276,11 @@ def pallas_forward_fn(z_outer, tilt_ramp, tile_map, shard_off, *,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_az_out, in0, in1), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_vmem_limit(levels_meta, t0, t1, a_chunk,
-                                         n_tensors=2 + 2 * len(ramp_args))),
+            vmem_limit_bytes=_vmem_limit(
+                levels_meta, t0, t1, a_chunk,
+                n_tensors=2 + len(mask_args) + 2 * len(ramp_args))),
         interpret=interpret,
-    )(tile_map, shard_off, z_org, z_inner, jnp.asarray(trig),
+    )(tile_map, shard_off, z_org, z_inner, *mask_args, jnp.asarray(trig),
       *ramp_args, *padded, *pooled)
     return jnp.clip(jnp.arctan(out),
                     math.radians(elev_lims[0]),
@@ -1238,20 +1308,23 @@ _HzCfg = collections.namedtuple("_HzCfg", [
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _pallas_hz(cfg, z_outer, tilt_ramp):
+def _pallas_hz(cfg, z_outer, tilt_ramp, mask_arr):
     """Differentiable fused-kernel horizon: Pallas forward, XLA-sweep
     backward (recompute-based custom VJP — the fused kernel's running
     maxima are cheap to re-derive through :func:`ops.sweep.horizon_core_fn`
-    whose VJP XLA generates; SURVEY.md section 7 step 8)."""
-    return _hz_fwd_value(cfg, z_outer, tilt_ramp)
+    whose VJP XLA generates; SURVEY.md section 7 step 8).
+
+    ``mask_arr``: optional (in0, in1) float 0/1 per-cell mask feeding the
+    kernel's mask-aware accumulator init (non-differentiable)."""
+    return _hz_fwd_value(cfg, z_outer, tilt_ramp, mask_arr)
 
 
-def _hz_fwd_value(cfg, z_outer, tilt_ramp):
+def _hz_fwd_value(cfg, z_outer, tilt_ramp, mask_arr):
     tmap = jnp.asarray(np.asarray(cfg.tile_map, dtype=np.int32)
                        .reshape(-1, 2))
     soff = jnp.zeros((4,), dtype=jnp.int32)
     out = _pallas_core(
-        z_outer, tilt_ramp, tmap, soff,
+        z_outer, tilt_ramp, tmap, soff, mask_arr=mask_arr,
         levels_meta=cfg.levels_meta, phases_meta=cfg.phases_meta,
         pads=cfg.pads, tile=cfg.tile, a_chunk=cfg.a_chunk,
         a_num=cfg.azim_num, n_az_out=cfg.azim_num, offset=cfg.offset,
@@ -1303,15 +1376,21 @@ def _hz_xla_equiv(cfg, z_outer, tilt_ramp):
                     math.radians(cfg.elev_lims[1]))
 
 
-def _hz_fwd(cfg, z_outer, tilt_ramp):
-    return _hz_fwd_value(cfg, z_outer, tilt_ramp), (z_outer, tilt_ramp)
+def _hz_fwd(cfg, z_outer, tilt_ramp, mask_arr):
+    return (_hz_fwd_value(cfg, z_outer, tilt_ramp, mask_arr),
+            (z_outer, tilt_ramp, mask_arr))
 
 
 def _hz_bwd(cfg, residuals, g):
-    z_outer, tilt_ramp = residuals
+    z_outer, tilt_ramp, mask_arr = residuals
     _, vjp = jax.vjp(lambda z, r: _hz_xla_equiv(cfg, z, r),
                      z_outer, tilt_ramp)
-    return vjp(g)
+    dz, dr = vjp(g)
+    dm = None
+    if mask_arr is not None:
+        # integer-dtype primal -> symbolic-zero cotangent
+        dm = np.zeros(mask_arr.shape, dtype=jax.dtypes.float0)
+    return (dz, dr, dm)
 
 
 _pallas_hz.defvjp(_hz_fwd, _hz_bwd)

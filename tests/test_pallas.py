@@ -70,6 +70,15 @@ def test_pallas_mask_tile_skipping():
     # tile schedule really is compacted
     tmap = pallas_sweep.tile_schedule((32, 32), (16, 16), mask)
     assert tmap.shape == (1, 2) and tuple(tmap[0]) == (0, 1)
+    # PARTIALLY masked tiles: the mask-aware accumulator init starts
+    # masked cells at +inf (so skip bounds range over unmasked cells
+    # only); unmasked outputs must stay bit-equal to the unmasked run
+    mask_p = np.zeros((32, 32), dtype=np.uint8)
+    mask_p[::3, ::2] = 1                   # scattered cells in every tile
+    part_p = np.asarray(pallas_sweep.horizon_sweep_pallas(
+        z, mask=mask_p, **kw))
+    sel = mask_p == 1
+    np.testing.assert_array_equal(part_p[sel], full[sel])
     # all-masked: defined fill, no kernel launch
     empty = np.asarray(pallas_sweep.horizon_sweep_pallas(
         z, mask=np.zeros((32, 32), np.uint8), **kw))
