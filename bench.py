@@ -308,6 +308,26 @@ def main():
     result["shadow_s_per_sun_position"] = dt_sh
     result["shadow_rays_per_s"] = cells / dt_sh
 
+    # Gradient row: value_and_grad through the fused kernel (argmax-
+    # emitting forward + winner-replay backward, ops/pallas_sweep.py)
+    # w.r.t. the full outer heightfield at the headline shape.
+    if engine == "pallas":
+        def grad_loss(zz):
+            hh = pallas_sweep.horizon_sweep_pallas(
+                zz, dx=args.dx, dy=-args.dx, offset=(args.halo, args.halo),
+                inner_shape=(in0, in1), azim_num=args.azim,
+                dist_search=args.dist * 1000.0, hori_acc=args.acc,
+                tile=bench_tile)
+            return jnp.mean(hh ** 2)
+
+        vg = jax.value_and_grad(grad_loss)
+        try:
+            dt_grad = time_run(lambda: vg(z_dev)[1])
+            result["grad_wall_time_s"] = dt_grad
+            result["grad_vs_forward"] = dt_grad / dt
+        except Exception as exc:
+            result["grad_error"] = f"{type(exc).__name__}: {exc}"[:200]
+
     if args.cpu_baseline:
         # Measured CPU baseline 1: the native multithreaded ray-marcher
         # (horayzon_tpu/native/fastdem.cpp) running the *same algorithm*

@@ -42,6 +42,8 @@ def main():
     ap.add_argument("--dist-search", type=float, default=20.0)
     ap.add_argument("--azim-num", type=int, default=120)
     ap.add_argument("--ellps", default="WGS84")
+    ap.add_argument("--plot", action="store_true",
+                    help="render reference-style matplotlib figures")
     ap.add_argument("--geoid", action="store_true",
                     help="apply EGM96 undulation (downloads aux data)")
     args = ap.parse_args()
@@ -84,6 +86,15 @@ def main():
         slope=out["slope"], aspect=out["aspect"],
         elevation=out["elevation"], lon=out["lon"], lat=out["lat"])
     print("saved:", os.path.join(args.out, "topo_par_curved.npz"))
+
+    if args.plot:
+        sys.path.insert(0, os.path.abspath(os.path.join(
+            os.path.dirname(__file__), "..")))
+        import plots_util
+        plots_util.plot_topo_panels(
+            args.out, elevation=out["elevation"], svf=out["svf"],
+            slope=out["slope"], hori=out["hori"], azim=out["azim"],
+            name="topo_panels_curved.png")
 
 
 if __name__ == "__main__":

@@ -33,6 +33,8 @@ def main():
     ap.add_argument("--dist-coast", type=float, default=15.0,
                     help="coastline buffer [km]")
     ap.add_argument("--azim-num", type=int, default=60)
+    ap.add_argument("--plot", action="store_true",
+                    help="render reference-style matplotlib figures")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
@@ -97,6 +99,17 @@ def main():
     np.savez_compressed(os.path.join(args.out, "topo_par_masked.npz"),
                         horizon=hori, azim=azim, mask=mask_in)
     print("saved:", os.path.join(args.out, "topo_par_masked.npz"))
+
+    if args.plot:
+        sys.path.insert(0, os.path.abspath(os.path.join(
+            os.path.dirname(__file__), "..")))
+        import plots_util
+        plots_util.plot_field(
+            args.out, mask_in, "mask_masked.png",
+            "Considered cells (ocean-masked domain)", cmap="gray")
+        plots_util.plot_field(
+            args.out, np.rad2deg(np.asarray(hori).mean(axis=-1)),
+            "horizon_masked.png", "Azimuth-mean horizon [deg]")
 
 
 if __name__ == "__main__":

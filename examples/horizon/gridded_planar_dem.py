@@ -47,6 +47,8 @@ def main():
     ap.add_argument("--out", default="/tmp/horayzon_tpu_out")
     ap.add_argument("--dist-search", type=float, default=20.0)
     ap.add_argument("--azim-num", type=int, default=180)
+    ap.add_argument("--plot", action="store_true",
+                    help="render reference-style matplotlib figures")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
@@ -85,6 +87,15 @@ def main():
         slope=out["slope"], aspect=out["aspect"],
         elevation=out["elevation"], x=out["x"], y=out["y"])
     print("saved:", os.path.join(args.out, "topo_par_planar.npz"))
+
+    if args.plot:
+        sys.path.insert(0, os.path.abspath(os.path.join(
+            os.path.dirname(__file__), "..")))
+        import plots_util
+        plots_util.plot_topo_panels(
+            args.out, elevation=out["elevation"], svf=out["svf"],
+            slope=out["slope"], hori=out["hori"], azim=out["azim"],
+            name="topo_panels_planar.png")
 
 
 if __name__ == "__main__":

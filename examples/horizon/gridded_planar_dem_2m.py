@@ -37,6 +37,8 @@ def main():
     ap.add_argument("--dist-search", type=float, default=20.0,
                     help="search distance [km]")
     ap.add_argument("--azim-num", type=int, default=60)
+    ap.add_argument("--plot", action="store_true",
+                    help="render reference-style matplotlib figures")
     ap.add_argument("--inner", type=int, default=1024,
                     help="inner cells per side at 2 m")
     ap.add_argument("--ratio-log2", type=int, default=4,
@@ -138,6 +140,14 @@ def main():
         hori_mean_per_azim=np.asarray(jnp.mean(hori, axis=(0, 1))),
         azim=azim)
     print("saved:", os.path.join(args.out, "hori_2m_summary.npz"))
+
+    if args.plot:
+        sys.path.insert(0, os.path.abspath(os.path.join(
+            os.path.dirname(__file__), "..")))
+        import plots_util
+        plots_util.plot_location_horizons(
+            args.out, np.asarray(jnp.mean(hori, axis=(0, 1)))[None, :],
+            azim, ["domain mean"], name="horizon_2m_mean.png")
 
 
 if __name__ == "__main__":

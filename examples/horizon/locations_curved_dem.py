@@ -24,6 +24,8 @@ def main():
     ap.add_argument("--out", default="/tmp/horayzon_tpu_out")
     ap.add_argument("--dist-search", type=float, default=20.0)
     ap.add_argument("--azim-num", type=int, default=360)
+    ap.add_argument("--plot", action="store_true",
+                    help="render reference-style matplotlib figures")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
@@ -83,6 +85,13 @@ def main():
         horizon=hori, horizon_distance=hori_dist, azim=azim,
         names=list(locations))
     print("saved:", os.path.join(args.out, "horizon_locations.npz"))
+
+    if args.plot:
+        sys.path.insert(0, os.path.abspath(os.path.join(
+            os.path.dirname(__file__), "..")))
+        import plots_util
+        plots_util.plot_location_horizons(
+            args.out, hori, azim, list(locations))
 
 
 if __name__ == "__main__":

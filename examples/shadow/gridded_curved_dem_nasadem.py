@@ -27,6 +27,8 @@ def main():
                     help="NASADEM NetCDF tiles (optional; needs xarray)")
     ap.add_argument("--out", default="/tmp/horayzon_tpu_out")
     ap.add_argument("--date", default="2026-07-01")
+    ap.add_argument("--plot", action="store_true",
+                    help="render reference-style matplotlib figures")
     ap.add_argument("--steps", type=int, default=13)
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
@@ -105,6 +107,15 @@ def main():
                         sw_dir_cor=sw, time=[str(t) for t in times],
                         mask=mask)
     print("saved:", os.path.join(args.out, "sw_dir_cor_nasadem.npz"))
+
+    if args.plot:
+        sys.path.insert(0, os.path.abspath(os.path.join(
+            os.path.dirname(__file__), "..")))
+        import plots_util
+        plots_util.plot_frames(
+            args.out, np.nan_to_num(sw, nan=0.0),
+            titles=[str(t)[11:16] for t in times],
+            name="sw_dir_cor_nasadem.png", vmax=2.0)
 
 
 if __name__ == "__main__":

@@ -29,6 +29,8 @@ def main():
     ap.add_argument("--dem", help="REMA GeoTIFF tile (optional)")
     ap.add_argument("--out", default="/tmp/horayzon_tpu_out")
     ap.add_argument("--date", default="2026-12-21")
+    ap.add_argument("--plot", action="store_true",
+                    help="render reference-style matplotlib figures")
     ap.add_argument("--steps", type=int, default=13)
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
@@ -101,6 +103,14 @@ def main():
     np.savez_compressed(os.path.join(args.out, "sw_dir_cor_rema.npz"),
                         sw_dir_cor=sw, time=[str(t) for t in times])
     print("saved:", os.path.join(args.out, "sw_dir_cor_rema.npz"))
+
+    if args.plot:
+        sys.path.insert(0, os.path.abspath(os.path.join(
+            os.path.dirname(__file__), "..")))
+        import plots_util
+        plots_util.plot_frames(
+            args.out, sw, titles=[str(t)[11:16] for t in times],
+            name="sw_dir_cor_rema.png", vmax=2.0)
 
 
 if __name__ == "__main__":

@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--dem", help="SRTM GeoTIFF tile (optional)")
     ap.add_argument("--out", default="/tmp/horayzon_tpu_out")
     ap.add_argument("--date", default="2026-01-15")
+    ap.add_argument("--plot", action="store_true",
+                    help="render reference-style matplotlib figures")
     ap.add_argument("--steps", type=int, default=25,
                     help="hourly steps of the sun track")
     args = ap.parse_args()
@@ -120,6 +122,28 @@ def main():
         sw_dir_cor=sw, shadow=shadow,
         time=[str(t) for t in times])
     print("saved:", os.path.join(args.out, "sw_dir_cor_srtm.npz"))
+
+    if args.plot:
+        sys.path.insert(0, os.path.abspath(os.path.join(
+            os.path.dirname(__file__), "..")))
+        import plots_util
+        labels = [str(t)[11:16] for t in times]
+        plots_util.plot_frames(args.out, sw, titles=labels,
+                               name="sw_dir_cor_srtm.png", vmax=2.0)
+        plots_util.plot_frames(args.out, shadow, titles=labels,
+                               name="shadow_srtm.png", cmap="viridis",
+                               vmin=0, vmax=3)
+        # per-step timing figure (reference Performance.png,
+        # gridded_curved_DEM_SRTM.py:272-284): time each sun position
+        # separately (the batch API amortises; this mirrors the
+        # reference's per-step loop)
+        import time as _time
+        step_times = []
+        for sp in sun_enu:
+            t0 = _time.perf_counter()
+            terrain.sw_dir_cor(sp)
+            step_times.append(_time.perf_counter() - t0)
+        plots_util.plot_performance(args.out, step_times)
 
 
 if __name__ == "__main__":

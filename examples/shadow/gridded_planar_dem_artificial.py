@@ -26,6 +26,8 @@ def main():
     ap.add_argument("--dx", type=float, default=100.0)
     ap.add_argument("--azim-steps", type=int, default=181)
     ap.add_argument("--elev", type=float, default=30.0)
+    ap.add_argument("--plot", action="store_true",
+                    help="render reference-style matplotlib figures")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
@@ -89,6 +91,19 @@ def main():
         sw_dir_cor=sw, azim=np.rad2deg(azim),
         elevation=elevation[slice_in], surf_enl_fac=surf_enl_fac)
     print("saved:", os.path.join(args.out, "sw_dir_cor_artificial.npz"))
+
+    if args.plot:
+        sys.path.insert(0, os.path.abspath(os.path.join(
+            os.path.dirname(__file__), "..")))
+        import plots_util
+        plots_util.plot_series(
+            args.out, np.rad2deg(azim), means,
+            xlabel="Sun azimuth [deg]",
+            ylabel="Spatial-mean sw_dir_cor [-]",
+            name="sw_dir_cor_artificial_mean.png", hline=1.0,
+            title="Artificial hemisphere: analytic expectation ~1")
+        plots_util.plot_frames(args.out, sw,
+                               name="sw_dir_cor_artificial.png", vmax=2.0)
 
 
 if __name__ == "__main__":

@@ -135,7 +135,8 @@ def _shifted_window(win_ref, start_i, start_j, rows, cols):
 def _kernel(tmap_ref, soff_ref, z_org_ref, z_inner_ref, *refs, levels_meta,
             phases_meta, tile, a_chunk, a_num, off0, off1, outer_shape, dx,
             dy, step, dist, near_exact, n_safe, mode="horizon",
-            grid_origin=(0.0, 0.0), has_mask=False, emit_argmax=False):
+            grid_origin=(0.0, 0.0), has_mask=False, emit_argmax=False,
+            exact_metric=True):
     """Pallas kernel body (horizon sweep / shadow occlusion metric).
 
     The grid is 2-D: (tile slot, azimuth/sun chunk).  Scalar-prefetch
@@ -345,6 +346,12 @@ def _kernel(tmap_ref, soff_ref, z_org_ref, z_inner_ref, *refs, levels_meta,
             mag = jnp.sqrt(sxr * sxr + syr * syr + szr * szr)
             adv = (sxr * kx_u + syr * ky_u) / mag
             m = (szr / mag) / jnp.maximum(adv, 1.0e-4)
+            # per-(tile, sun) minimum ray slope: feeds the directional
+            # skip bounds (the dynamic analog of capping tfar at
+            # (max_z - min_z)/tan(elev) instead of the domain diagonal,
+            # cf. shadow_comp.cpp:454-467 whose tfar = inf semantics are
+            # preserved exactly - skips are value-exact)
+            m_min = jnp.min(m)
         else:
             k_glob = soff_ref[2] + ak * a_chunk + k_local
             ux = trig_ref[k_glob, 0]
@@ -599,7 +606,7 @@ def _kernel(tmap_ref, soff_ref, z_org_ref, z_inner_ref, *refs, levels_meta,
                     return (acc, h_b)
                 # seed: h1 = sample at nx*step is the previous phase's last
                 # endpoint (carried in h1)
-                if (not shadow) and ns1 == n_dense and (ns1 - nx) % 2 == 0 \
+                if ns1 == n_dense and (ns1 - nx) % 2 == 0 \
                         and n_pairs >= 8:
                     # Chunk the safe d1 range; skip far chunks whose
                     # directional terrain bound cannot raise any cell.  A
@@ -644,11 +651,22 @@ def _kernel(tmap_ref, soff_ref, z_org_ref, z_inner_ref, *refs, levels_meta,
                         num = (dmax - z_org_min
                                + 0.125 * jnp.maximum(
                                    dmax - wmax_ref[n_levels], 0.0))
-                        bound = num * jnp.where(num >= 0.0,
-                                                1.0 / (sA - step),
-                                                1.0 / sB)
-                        c = lax.cond(bound <= acc_min, skip_g,
-                                     run_g, c)
+                        if shadow:
+                            bound = num - jnp.minimum(
+                                (sA - step) * m_min, sB * m_min)
+                        else:
+                            bound = num * jnp.where(num >= 0.0,
+                                                    1.0 / (sA - step),
+                                                    1.0 / sB)
+                        skip = bound <= acc_min
+                        if shadow and not exact_metric:
+                            # sign-exact mode (Terrain queries only use
+                            # metric > 0): skips may also fire when no
+                            # candidate can be positive (bound <= 0) or
+                            # every cell is already occluded
+                            skip = (skip | (bound <= 0.0)
+                                    | (acc_min > 0.0))
+                        c = lax.cond(skip, skip_g, run_g, c)
                     acc, h1n = c
                 else:
                     acc, h1n = lax.fori_loop(0, n_pairs, b_d1, (acc, h1))
@@ -709,14 +727,12 @@ def _kernel(tmap_ref, soff_ref, z_org_ref, z_inner_ref, *refs, levels_meta,
             @pl.when((ak == 0) & (k_local == 0))
             def _(p=p):
                 _dma(p).wait()
-                if shadow:
-                    wmax_ref[p] = jnp.max(win_refs[p][...])
             lvl, n_m, s_first, step_l = phases_meta[p]
             # one min-reduction per phase, shared by the phase-level skip
             # and every chunk-level skip inside it (stale-min-safe: acc is
             # non-decreasing, so reusing the phase-entry min only makes
             # skips rarer, never unsafe)
-            amin_p = None if shadow else jnp.min(_val(acc))
+            amin_p = jnp.min(_val(acc))
             kpow = 2 ** lvl
             wpad = levels_meta[p][1]
             s_last = s_first + (n_m - 1) * step_l
@@ -862,7 +878,7 @@ def _kernel(tmap_ref, soff_ref, z_org_ref, z_inner_ref, *refs, levels_meta,
                                                 mip_id_off[p] + m)
                         return lax.fori_loop(0, g_n, g_body, acc)
 
-                    if shadow or "no_skip" in _ABLATE:
+                    if "no_skip" in _ABLATE:
                         return _run(acc)
                     # Chunk-granular provably-safe early exit (the far
                     # chunks are the most skippable: the reference's
@@ -870,16 +886,26 @@ def _kernel(tmap_ref, soff_ref, z_org_ref, z_inner_ref, *refs, levels_meta,
                     # horizon_comp.cpp:436-496).  Value-exact: the bound
                     # dominates every candidate the chunk could produce,
                     # so skipping cannot change any cell's running max.
-                    # For terrain below the ray origin the ratio is
-                    # largest at the FAR end of the segment, hence the
-                    # sign-dependent divisor.
+                    # Horizon: for terrain below the ray origin the ratio
+                    # is largest at the FAR end of the segment, hence the
+                    # sign-dependent divisor.  Shadow: clearance
+                    # he - z_org - s*m bounded with the per-(tile, sun)
+                    # minimum ray slope (mip candidates are point samples
+                    # so no overshoot margin is needed).
                     sA = s_of(m_lo)
                     sB = jnp.maximum(s_of(m_hi), sA)
                     num = dir_max(p, sA, sB) - z_org_min
-                    bound = num * jnp.where(num >= 0.0, 1.0 / sA,
-                                            1.0 / sB)
-                    return lax.cond(bound <= amin_p,
-                                    lambda a: a, _run, acc)
+                    if shadow:
+                        bound = num - jnp.minimum(sA * m_min, sB * m_min)
+                        skip = bound <= amin_p
+                        if not exact_metric:
+                            skip = (skip | (bound <= 0.0)
+                                    | (amin_p > 0.0))
+                    else:
+                        bound = num * jnp.where(num >= 0.0, 1.0 / sA,
+                                                1.0 / sB)
+                        skip = bound <= amin_p
+                    return lax.cond(skip, lambda a: a, _run, acc)
 
                 def run_phase(a, n_ch=n_ch, chunk_body=chunk_body):
                     return lax.fori_loop(0, n_ch, chunk_body, a)
@@ -887,22 +913,26 @@ def _kernel(tmap_ref, soff_ref, z_org_ref, z_inner_ref, *refs, levels_meta,
                 def run_phase(a, n_m=n_m, mip_body=mip_body):
                     return lax.fori_loop(0, n_m, mip_body, a)
 
-            # Provably-safe early exit: skip the phase when no terrain the
-            # segment can sample is able to raise any cell's running value.
-            # Horizon modes use the directional (strip-masked) pooled bound;
-            # shadow keeps the whole-window bound (the per-cell ray slope
-            # field makes the directional algebra different).
+            # Provably-safe early exit: skip the phase when no terrain
+            # the segment can sample is able to raise any cell's running
+            # value.  Both modes use the directional (strip-masked) pooled
+            # bound; shadow additionally folds in the per-(tile, sun)
+            # minimum ray slope — far phases skip once
+            # s * m_min outgrows the relief, the dynamic analog of a
+            # (max_z - min_z)/tan(elev) tfar cap.  Skips are value-exact
+            # (the metric magnitude stays tiling-independent, as the
+            # sharded tests assert) unless exact_metric=False, where an
+            # "every cell already occluded" arm may also fire —
+            # sign-exact only, for callers that just threshold the metric
+            # (Terrain).
             if shadow:
-                wmax = wmax_ref[p]
-                m_min = jnp.min(m)
-                bound = wmax - z_org_min - jnp.minimum(
+                num = dir_max(p, s_first, s_last) - z_org_min
+                bound = num - jnp.minimum(
                     s_first * m_min, s_last * m_min)
-                # Only the exact terrain bound: an "every cell already
-                # occluded" arm would fire per-tile and make the metric's
-                # magnitude depend on the tiling, breaking the exact
-                # equality the sharded tests assert across tile shapes
-                # (same reasoning as the XLA engine, ops/sweep.py:893).
-                skip = bound <= 0.0
+                skip = bound <= amin_p
+                if not exact_metric:
+                    skip = (skip | (bound <= 0.0)
+                            | (amin_p > 0.0))
             else:
                 num = dir_max(p, s_first, s_last) - z_org_min
                 bound = num * jnp.where(num >= 0.0, 1.0 / s_first,
@@ -990,22 +1020,33 @@ def default_a_chunk(azim_num, t0, t1):
     t1) at ~1 MiB — the real chip's 16 MiB scoped-vmem limit is otherwise
     exceeded at t1=512 (window slabs + roll scratch take the rest).
 
-    ``a_chunk`` must divide ``azim_num``; an azimuth count with no small
-    divisors (e.g. a prime) forces ``a_chunk`` far below the VMEM budget
-    and multiplies azimuth grid steps (each re-runs the per-tile setup) —
-    warn so callers can pick a friendlier count or pass ``a_chunk``."""
+    ``a_chunk`` must divide the number of azimuth rows computed; see
+    :func:`plan_azim` for the padding that keeps awkward counts (e.g.
+    primes) efficient."""
+    budget = min(azim_num, max(1, (1 << 20) // (t0 * t1 * 4)))
+    a_chunk = budget
+    while azim_num % a_chunk:
+        a_chunk -= 1
+    return a_chunk
+
+
+def plan_azim(azim_num, t0, t1):
+    """(a_chunk, azim_pad) for the single-device entry.
+
+    ``a_chunk`` must divide the computed azimuth rows; an ``azim_num``
+    with no divisor near the VMEM budget (e.g. a prime 359) would
+    otherwise collapse ``a_chunk`` and multiply per-tile setup.  Instead
+    the azimuth axis is padded up to the next multiple of the budget —
+    the extra rows compute wrapped angles and are discarded — so
+    azim_num=359 costs within a few percent of 360."""
     budget = min(azim_num, max(1, (1 << 20) // (t0 * t1 * 4)))
     a_chunk = budget
     while azim_num % a_chunk:
         a_chunk -= 1
     if a_chunk * 2 <= budget and azim_num > a_chunk:
-        import warnings
-        warnings.warn(
-            f"azim_num={azim_num} has no divisor near the VMEM budget "
-            f"({budget}); using a_chunk={a_chunk}, which multiplies "
-            f"azimuth grid steps.  Prefer an azim_num divisible by "
-            f"{budget} (or pass a_chunk explicitly).", stacklevel=2)
-    return a_chunk
+        pad = ((azim_num + budget - 1) // budget) * budget
+        return budget, pad
+    return a_chunk, azim_num
 
 
 def tile_schedule(inner_shape, tile, mask=None):
@@ -1031,7 +1072,7 @@ def tile_schedule(inner_shape, tile, mask=None):
 
 def plan_sweep(outer_shape, *, inner_shape, offset, tile, azim_num,
                dist_search, dx, dy, hori_acc=0.25, rel_err=None,
-               max_level=10, a_chunk=None):
+               max_level=10, a_chunk=None, allow_azim_pad=False):
     """Static planning shared by the single-device and sharded entries.
 
     Returns a dict of the static kernel parameters (window metadata, phase
@@ -1048,9 +1089,13 @@ def plan_sweep(outer_shape, *, inner_shape, offset, tile, azim_num,
     if in0 % t0 or in1 % t1:
         raise ValueError(f"inner_shape {inner_shape} must be divisible by "
                          f"tile {(t0, t1)}")
+    azim_pad = azim_num
     if a_chunk is None:
-        a_chunk = default_a_chunk(azim_num, t0, t1)
-    if azim_num % a_chunk:
+        if allow_azim_pad:
+            a_chunk, azim_pad = plan_azim(azim_num, t0, t1)
+        else:
+            a_chunk = default_a_chunk(azim_num, t0, t1)
+    if azim_pad % a_chunk:
         raise ValueError("azim_num must be divisible by a_chunk")
     levels_meta, phases_meta = _build_metas(schedule, t0, t1, step)
     off0, off1 = offset
@@ -1066,7 +1111,8 @@ def plan_sweep(outer_shape, *, inner_shape, offset, tile, azim_num,
         offset=(int(off0), int(off1)), inner_shape=(in0, in1),
         dx=float(dx), dy=float(dy), step=step, dist=float(dist_search),
         near_ex=near_ex, n_safe=max(0, halo_cells - 2),
-        rel_err=float(rel_err), max_level=int(max_level))
+        rel_err=float(rel_err), max_level=int(max_level),
+        azim_pad=int(azim_pad))
 
 
 def horizon_sweep_pallas(z_outer, *, dx, dy, offset, inner_shape, azim_num,
@@ -1097,7 +1143,7 @@ def horizon_sweep_pallas(z_outer, *, dx, dy, offset, inner_shape, azim_num,
         z_outer.shape, inner_shape=inner_shape, offset=offset, tile=tile,
         azim_num=azim_num, dist_search=dist_search, dx=dx, dy=dy,
         hori_acc=hori_acc, rel_err=rel_err, max_level=max_level,
-        a_chunk=a_chunk)
+        a_chunk=a_chunk, allow_azim_pad=a_chunk is None)
     tmap = tile_schedule(plan["inner_shape"], plan["tile"], mask)
     lo = math.radians(float(elev_ang_low_lim))
     in0, in1 = plan["inner_shape"]
@@ -1108,6 +1154,7 @@ def horizon_sweep_pallas(z_outer, *, dx, dy, offset, inner_shape, azim_num,
                           for r in tilt_ramp)
     cfg = _HzCfg(
         outer_shape=tuple(z_outer.shape), azim_num=int(azim_num),
+        azim_pad=plan["azim_pad"],
         ray_org_elev=float(ray_org_elev),
         elev_lims=(float(elev_ang_low_lim), float(elev_ang_up_lim)),
         tile_map=tuple(map(tuple, tmap.tolist())),
@@ -1132,6 +1179,19 @@ def horizon_sweep_pallas(z_outer, *, dx, dy, offset, inner_shape, azim_num,
 LEVEL_PAD_EXTRA = (4, 56, 776)
 
 
+def _padded_levels(z_outer, pads):
+    """Padded mip levels only (no pooled companions) — the differentiable
+    part of :func:`build_padded_pyramid` (reverse-mode flows through the
+    2x2 max-pools; the 8x8 pooled arrays feed only value-exact skip
+    decisions and carry no gradient)."""
+    levels = _mip.build_pyramid(z_outer, len(pads))
+    lo_e, hi_r, hi_c = LEVEL_PAD_EXTRA
+    return [jnp.pad(
+        z_l, ((pads[lvl] + lo_e, pads[lvl] + hi_r),
+              (pads[lvl] + lo_e, pads[lvl] + hi_c)),
+        constant_values=_mip.PAD_VALUE) for lvl, z_l in enumerate(levels)]
+
+
 def build_padded_pyramid(z_outer, pads, levels_meta):
     """Mip pyramid with the kernel's sentinel margins, plus the 8x8
     max-pooled companions feeding the directional early exit.
@@ -1144,14 +1204,7 @@ def build_padded_pyramid(z_outer, pads, levels_meta):
 
     Returns ``(padded, pooled)`` lists of jnp arrays (one per level).
     """
-    levels = _mip.build_pyramid(z_outer, len(pads))
-    lo_e, hi_r, hi_c = LEVEL_PAD_EXTRA
-    padded = []
-    for lvl, z_l in enumerate(levels):
-        padded.append(jnp.pad(
-            z_l, ((pads[lvl] + lo_e, pads[lvl] + hi_r),
-                  (pads[lvl] + lo_e, pads[lvl] + hi_c)),
-            constant_values=_mip.PAD_VALUE))
+    padded = _padded_levels(z_outer, pads)
     return padded, _pool8(padded, levels_meta)
 
 
@@ -1160,7 +1213,7 @@ def pallas_forward_fn(z_outer, tilt_ramp, tile_map, shard_off, *,
                       n_az_out, offset, inner_shape, dx, dy, step, dist,
                       near_ex, n_safe, ray_org_elev, elev_lims, interpret,
                       pyramid=None, inner_start=None, outer_shape=None,
-                      mask_arr=None):
+                      mask_arr=None, emit_argmax=False):
     """Unjitted fused forward: mip pyramid + padding + Pallas sweep + arctan.
 
     Safe to embed in ``shard_map`` (the jitted single-device entry is
@@ -1226,12 +1279,16 @@ def pallas_forward_fn(z_outer, tilt_ramp, tile_map, shard_off, *,
         dx=dx, dy=dy, step=step, dist=dist,
         near_exact=near_ex, n_safe=n_safe,
         mode="horizon" if tilt_ramp is None else "horizon_tilt",
-        has_mask=mask_arr is not None)
+        has_mask=mask_arr is not None, emit_argmax=emit_argmax)
 
     # Per-azimuth (sin, cos) table in f32: the host-side XLA tables and the
     # kernel must derive mip sample indices from bit-identical trig (see
-    # _kernel).  Angles are the f32 azimuth_angles convention.
-    azim32 = ((2.0 * np.pi) / a_num * np.arange(a_num)).astype(np.float32)
+    # _kernel).  Angles are the f32 azimuth_angles convention.  When the
+    # azimuth axis is padded (plan_azim), rows beyond ``a_num`` continue
+    # the same formula (wrapped angles) — they are computed and discarded.
+    n_trig = max(a_num, n_az_out)
+    azim32 = ((2.0 * np.pi) / a_num
+              * np.arange(n_trig)).astype(np.float32)
     trig = np.stack([np.sin(azim32.astype(np.float64)),
                      np.cos(azim32.astype(np.float64))],
                     axis=-1).astype(np.float32)
@@ -1262,26 +1319,38 @@ def pallas_forward_fn(z_outer, tilt_ramp, tile_map, shard_off, *,
         scratch_shapes = scratch_shapes + [
             pltpu.VMEM(strip_shape, jnp.float32)]
 
+    out_spec = pl.BlockSpec(
+        (a_chunk, t0, t1),
+        lambda ti, ak, tm, so: (ak, tm[ti, 0], tm[ti, 1]),
+        memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((n_az_out, in0, in1), jnp.float32)
+    out_specs = out_spec
+    if emit_argmax:
+        out_specs = [out_spec, out_spec]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((n_az_out, in0, in1), jnp.int32)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (a_chunk, t0, t1),
-            lambda ti, ak, tm, so: (ak, tm[ti, 0], tm[ti, 1]),
-            memory_space=pltpu.VMEM),
+        out_specs=out_specs,
         scratch_shapes=scratch_shapes)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_az_out, in0, in1), jnp.float32),
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_vmem_limit(
                 levels_meta, t0, t1, a_chunk,
-                n_tensors=2 + len(mask_args) + 2 * len(ramp_args))),
+                n_tensors=2 + len(mask_args) + 2 * len(ramp_args)
+                + (2 if emit_argmax else 0))),
         interpret=interpret,
     )(tile_map, shard_off, z_org, z_inner, *mask_args, jnp.asarray(trig),
       *ramp_args, *padded, *pooled)
+    if emit_argmax:
+        # raw ratio + winner ids; the caller applies arctan/clip and keeps
+        # both as residuals for the winner-replay backward
+        return out[0], out[1]
     return jnp.clip(jnp.arctan(out),
                     math.radians(elev_lims[0]),
                     math.radians(elev_lims[1]))
@@ -1293,7 +1362,8 @@ _pallas_core = functools.partial(
     static_argnames=("levels_meta", "phases_meta", "pads", "tile",
                      "a_chunk", "a_num", "n_az_out", "offset",
                      "inner_shape", "dx", "dy", "step", "dist", "near_ex",
-                     "n_safe", "ray_org_elev", "elev_lims", "interpret"))(
+                     "n_safe", "ray_org_elev", "elev_lims", "interpret",
+                     "emit_argmax"))(
     pallas_forward_fn)
 
 
@@ -1302,9 +1372,9 @@ _pallas_core = functools.partial(
 #: integer cotangents).
 _HzCfg = collections.namedtuple("_HzCfg", [
     "levels_meta", "phases_meta", "pads", "tile", "a_chunk", "azim_num",
-    "offset", "inner_shape", "outer_shape", "dx", "dy", "step", "dist",
-    "near_ex", "n_safe", "ray_org_elev", "elev_lims", "rel_err",
-    "max_level", "tile_map", "interpret"])
+    "azim_pad", "offset", "inner_shape", "outer_shape", "dx", "dy",
+    "step", "dist", "near_ex", "n_safe", "ray_org_elev", "elev_lims",
+    "rel_err", "max_level", "tile_map", "interpret"])
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -1327,12 +1397,12 @@ def _hz_fwd_value(cfg, z_outer, tilt_ramp, mask_arr):
         z_outer, tilt_ramp, tmap, soff, mask_arr=mask_arr,
         levels_meta=cfg.levels_meta, phases_meta=cfg.phases_meta,
         pads=cfg.pads, tile=cfg.tile, a_chunk=cfg.a_chunk,
-        a_num=cfg.azim_num, n_az_out=cfg.azim_num, offset=cfg.offset,
+        a_num=cfg.azim_num, n_az_out=cfg.azim_pad, offset=cfg.offset,
         inner_shape=cfg.inner_shape, dx=cfg.dx, dy=cfg.dy, step=cfg.step,
         dist=cfg.dist, near_ex=cfg.near_ex, n_safe=cfg.n_safe,
         ray_org_elev=cfg.ray_org_elev, elev_lims=cfg.elev_lims,
         interpret=cfg.interpret)
-    return jnp.moveaxis(out, 0, -1)
+    return jnp.moveaxis(out[:cfg.azim_num], 0, -1)
 
 
 def _hz_xla_equiv(cfg, z_outer, tilt_ramp):
@@ -1376,24 +1446,577 @@ def _hz_xla_equiv(cfg, z_outer, tilt_ramp):
                     math.radians(cfg.elev_lims[1]))
 
 
+#: Backward-pass implementation: "replay" (argmax-emitting Pallas forward
+#: + winner-replay Pallas backward — grad wall ~ forward wall) or
+#: "recompute" (XLA-sweep recompute VJP, the round-3 path, kept as a
+#: debugging fallback; select with HZT_GRAD_RECOMPUTE=1).
+def _grad_mode():
+    import os
+    return ("recompute" if os.environ.get("HZT_GRAD_RECOMPUTE") == "1"
+            else "replay")
+
+
 def _hz_fwd(cfg, z_outer, tilt_ramp, mask_arr):
-    return (_hz_fwd_value(cfg, z_outer, tilt_ramp, mask_arr),
-            (z_outer, tilt_ramp, mask_arr))
+    if _grad_mode() == "recompute":
+        return (_hz_fwd_value(cfg, z_outer, tilt_ramp, mask_arr),
+                (z_outer, tilt_ramp, mask_arr, None, None))
+    tmap = jnp.asarray(np.asarray(cfg.tile_map, dtype=np.int32)
+                       .reshape(-1, 2))
+    soff = jnp.zeros((4,), dtype=jnp.int32)
+    raw, ids = _pallas_core(
+        z_outer, tilt_ramp, tmap, soff, mask_arr=mask_arr,
+        emit_argmax=True,
+        levels_meta=cfg.levels_meta, phases_meta=cfg.phases_meta,
+        pads=cfg.pads, tile=cfg.tile, a_chunk=cfg.a_chunk,
+        a_num=cfg.azim_num, n_az_out=cfg.azim_pad, offset=cfg.offset,
+        inner_shape=cfg.inner_shape, dx=cfg.dx, dy=cfg.dy, step=cfg.step,
+        dist=cfg.dist, near_ex=cfg.near_ex, n_safe=cfg.n_safe,
+        ray_org_elev=cfg.ray_org_elev, elev_lims=cfg.elev_lims,
+        interpret=cfg.interpret)
+    # ids stay azimuth-padded (the backward grid needs rows divisible by
+    # a_chunk); raw is sliced for the primal/chain
+    raw = raw[:cfg.azim_num]
+    out = jnp.clip(jnp.arctan(jnp.moveaxis(raw, 0, -1)),
+                   math.radians(cfg.elev_lims[0]),
+                   math.radians(cfg.elev_lims[1]))
+    return out, (z_outer, tilt_ramp, mask_arr, raw, ids)
 
 
 def _hz_bwd(cfg, residuals, g):
-    z_outer, tilt_ramp, mask_arr = residuals
-    _, vjp = jax.vjp(lambda z, r: _hz_xla_equiv(cfg, z, r),
-                     z_outer, tilt_ramp)
-    dz, dr = vjp(g)
+    z_outer, tilt_ramp, mask_arr, raw, ids = residuals
     dm = None
     if mask_arr is not None:
         # integer-dtype primal -> symbolic-zero cotangent
         dm = np.zeros(mask_arr.shape, dtype=jax.dtypes.float0)
+    if raw is None:
+        _, vjp = jax.vjp(lambda z, r: _hz_xla_equiv(cfg, z, r),
+                         z_outer, tilt_ramp)
+        dz, dr = vjp(g)
+        return (dz, dr, dm)
+    dz, dr = _hz_bwd_replay(cfg, z_outer, tilt_ramp, raw, ids, g)
     return (dz, dr, dm)
 
 
 _pallas_hz.defvjp(_hz_fwd, _hz_bwd)
+
+
+#: Dense steps per presence-tested chunk in the backward kernel.
+_BWD_DCH = 32
+
+#: Profiling-only ablation flags for the backward kernel (see _ABLATE):
+#: "no_scatter" (skip window-cotangent scatters), "no_quad" (skip
+#: interior-parabola winners), "no_mip" (skip far-field winners),
+#: "no_pres" (drop presence tests: process every step).
+_BWD_ABLATE = frozenset()
+
+
+def _bwd_kernel(tmap_ref, soff_ref, z_org_ref, g_ref, id_ref, *refs,
+                levels_meta, phases_meta, tile, a_chunk, a_num, off0, off1,
+                dx, dy, step, dist, near_exact):
+    """Winner-replay backward kernel (horizon modes).
+
+    Grid and tile/window geometry mirror :func:`_kernel`.  Inputs: the
+    ratio cotangent ``g_ref`` and winner-id map ``id_ref`` (from the
+    argmax-emitting forward, chained through arctan/clip by the caller).
+    For each candidate id present in the tile (range presence tests skip
+    whole dense chunks / mip phases; equality tests skip single steps),
+    the kernel recomputes the candidate's closed-form partials — envelope
+    theorem for interior-parabola winners: at the stationary point t* the
+    total derivative equals the partial at fixed t* — and accumulates
+    bilinear-weighted contributions into per-tile, per-level window
+    cotangents plus a per-cell ``z_org`` cotangent.  The host overlap-adds
+    the window blocks into full level arrays and routes them through the
+    VJP of the pyramid build (max-pools) to ``z_outer``.
+
+    refs layout: [trig (SMEM), lvl_0 (ANY)] then outputs
+    [wcot_0.. wcot_{L-1} (each (1, wsz0_p, wsz1_p)), zcot (1, t0, t1)]
+    then scratch [win_0 (VMEM), zc (VMEM t0 x t1), sem].
+    """
+    n_levels = len(levels_meta)
+    trig_ref = refs[0]
+    lvl0_ref = refs[1]
+    wcot_refs = refs[2:2 + n_levels]
+    zcot_ref = refs[2 + n_levels]
+    win0_ref = refs[3 + n_levels]
+    zc_ref = refs[4 + n_levels]
+    sem = refs[5 + n_levels]
+
+    t0, t1 = tile
+    ti = pl.program_id(0)
+    ak = pl.program_id(1)
+    a_base = off0 + soff_ref[0] + tmap_ref[ti, 0] * t0
+    b_base = off1 + soff_ref[1] + tmap_ref[ti, 1] * t1
+    wpad0 = levels_meta[0][1]
+
+    # per-level DMA-alignment remainders (as in the forward)
+    deltas = []
+    for p, (lvl, wpad, wsz0, wsz1, psz0, psz1) in enumerate(levels_meta):
+        k = 2 ** lvl
+        src_i = (a_base // k) + 2 - soff_ref[4 + p]
+        src_j = (b_base // k) + 2
+        deltas.append((src_i - pl.multiple_of((src_i // 8) * 8, 8),
+                       src_j - pl.multiple_of((src_j // 128) * 128, 128)))
+
+    @pl.when(ak == 0)
+    def _():
+        wsz0, wsz1 = levels_meta[0][2], levels_meta[0][3]
+        src_i = (a_base // 1) + 2 - soff_ref[4]
+        src_j = (b_base // 1) + 2
+        src_i_al = pl.multiple_of((src_i // 8) * 8, 8)
+        src_j_al = pl.multiple_of((src_j // 128) * 128, 128)
+        cp = pltpu.make_async_copy(
+            lvl0_ref.at[pl.ds(src_i_al, wsz0), pl.ds(src_j_al, wsz1)],
+            win0_ref, sem)
+        cp.start()
+        for p in range(n_levels):
+            wcot_refs[p][...] = jnp.zeros(wcot_refs[p].shape, jnp.float32)
+        zcot_ref[...] = jnp.zeros(zcot_ref.shape, jnp.float32)
+        cp.wait()
+
+    z_org = z_org_ref[...]
+    d0_i, d0_j = deltas[0]
+    n_dense = phases_meta[0][1]
+    nx = min(near_exact, n_dense)
+    inv_l0 = 1.0 / step
+    inv_l1 = 0.5 / step
+
+    # static per-phase candidate-id offsets (match the forward)
+    mip_id_off = [0] * len(phases_meta)
+    _off = 2 * n_dense
+    for _p in range(1, len(phases_meta)):
+        mip_id_off[_p] = _off
+        _off += phases_meta[_p][1]
+
+    def azim_loop(k_local, _):
+        k_glob = soff_ref[2] + ak * a_chunk + k_local
+        ux = trig_ref[k_glob, 0]
+        uy = trig_ref[k_glob, 1]
+        sh_i = uy / dy
+        sh_j = ux / dx
+        ids = id_ref[k_local, :, :]
+        gv = g_ref[k_local, :, :]
+        zc_ref[...] = jnp.zeros((t0, t1), jnp.float32)
+
+        def readw(s):
+            """Level-0 bilinear read + its geometry (value, starts,
+            fractions) — identical f32 math to the forward's read0."""
+            dif = s * sh_i
+            djf = s * sh_j
+            di = jnp.floor(dif)
+            dj = jnp.floor(djf)
+            fi = dif - di
+            fj = djf - dj
+            win = _shifted_window(
+                win0_ref, di.astype(jnp.int32) + wpad0 + d0_i,
+                dj.astype(jnp.int32) + wpad0 + d0_j, t0 + 1, t1 + 1)
+            top = (1.0 - fj) * win[:-1, :-1] + fj * win[:-1, 1:]
+            bot = (1.0 - fj) * win[1:, :-1] + fj * win[1:, 1:]
+            return ((1.0 - fi) * top + fi * bot,
+                    di.astype(jnp.int32), dj.astype(jnp.int32), fi, fj)
+
+        def scatter0(coef, di, dj, fi, fj):
+            """Adjoint of a level-0 bilinear read: spread ``coef`` with the
+            bilinear corner weights and add at the read's dynamic window
+            position (aligned slab embed + right rolls + indexed add)."""
+            if "no_scatter" in _BWD_ABLATE:
+                zc_ref[...] += coef * 1e-30
+                return
+            w00 = coef * (1.0 - fi) * (1.0 - fj)
+            w01 = coef * (1.0 - fi) * fj
+            w10 = coef * fi * (1.0 - fj)
+            w11 = coef * fi * fj
+            rows, cols = t0 + 1, t1 + 1
+            # corner spread via zero pads (Mosaic has no scatter; static
+            # pads lower to cheap shifts)
+            field = (jnp.pad(w00, ((0, 1), (0, 1)))
+                     + jnp.pad(w01, ((0, 1), (1, 0)))
+                     + jnp.pad(w10, ((1, 0), (0, 1)))
+                     + jnp.pad(w11, ((1, 0), (1, 0))))
+            start_i = di + wpad0 + d0_i
+            start_j = dj + wpad0 + d0_j
+            ia = pl.multiple_of((start_i // 8) * 8, 8)
+            ja = pl.multiple_of((start_j // 128) * 128, 128)
+            r = _round_up(rows + 7, 8)
+            c = _round_up(cols + 127, 128)
+            slab = jnp.pad(field, ((0, r - rows), (0, c - cols)))
+            slab = pltpu.roll(slab, start_i - ia, 0)
+            slab = pltpu.roll(slab, start_j - ja, 1)
+            cur = wcot_refs[0][0, pl.ds(ia, r), pl.ds(ja, c)]
+            wcot_refs[0][0, pl.ds(ia, r), pl.ds(ja, c)] = cur + slab
+
+        def point_bwd(m):
+            """Dense point winner at step m: r = (h(s) - z_org)/s."""
+            s = (m + 1).astype(jnp.float32) * step
+            pm = ids == 2 * m
+            coef = jnp.where(pm, gv, 0.0) * (1.0 / s)
+            dif = s * sh_i
+            djf = s * sh_j
+            di = jnp.floor(dif)
+            dj = jnp.floor(djf)
+            scatter0(coef, di.astype(jnp.int32), dj.astype(jnp.int32),
+                     dif - di, djf - dj)
+            zc_ref[...] += -coef
+
+        def quad_bwd(m, d2):
+            """Dense interior-parabola winner with id 2m+1.
+
+            d2 (m < nx): samples at m, m+1/2, m+1 steps, s0 = m*step,
+            q = 1/step.  d1: samples at m-1, m, m+1 steps,
+            s0 = (m-1)*step, q = 1/(2*step).  Envelope partials at the
+            recomputed stationary point; all terms share 1/D."""
+            qm = ids == 2 * m + 1
+            if d2:
+                q = inv_l0
+                s0 = m.astype(jnp.float32) * step
+                sm = s0 + 0.5 * step
+                s2 = s0 + step
+            else:
+                q = inv_l1
+                s0 = (m - 1).astype(jnp.float32) * step
+                sm = s0 + step
+                s2 = s0 + 2.0 * step
+            h1, di1, dj1, fi1, fj1 = readw(s0)
+            ha, dia, dja, fia, fja = readw(sm)
+            hb, dib, djb, fib, fjb = readw(s2)
+            a_c = (2.0 * hb + 2.0 * h1 - 4.0 * ha) * (q * q)
+            b_c = (4.0 * ha - 3.0 * h1 - hb) * q
+            c0 = h1 - z_org
+            u = (a_c * s0 - b_c) * s0 + c0
+            g2 = jnp.sqrt(jnp.maximum(a_c * u, 0.0))
+            g2 = jnp.where(a_c >= 0.0, g2, -g2)
+            d_den = jnp.where(jnp.abs(a_c) > 1e-30, a_c, 1e-30)
+            big_d = g2 / d_den                      # = s0 + t*
+            ok = qm & (big_d > 1e-3)
+            inv_d = jnp.where(ok, 1.0 / jnp.where(ok, big_d, 1.0), 0.0)
+            gq = jnp.where(ok, gv, 0.0) * inv_d
+            tt = big_d - s0                         # t*
+            qt = q * tt
+            qt2 = qt * qt
+            scatter0(gq * (2.0 * qt2 - 3.0 * qt + 1.0), di1, dj1, fi1, fj1)
+            scatter0(gq * (4.0 * qt - 4.0 * qt2), dia, dja, fia, fja)
+            scatter0(gq * (2.0 * qt2 - qt), dib, djb, fib, fjb)
+            zc_ref[...] += -gq
+
+        # ---- dense phases, chunked presence tests ----
+        for lo, hi, d2 in ([(c, min(c + _BWD_DCH, nx), True)
+                            for c in range(0, nx, _BWD_DCH)]
+                           + [(c, min(c + _BWD_DCH, n_dense), False)
+                              for c in range(nx, n_dense, _BWD_DCH)]):
+            pres = jnp.any((ids >= 2 * lo) & (ids < 2 * hi))
+
+            @pl.when(pres)
+            def _(lo=lo, hi=hi, d2=d2):
+                def body(m, carry):
+                    if "no_pres" in _BWD_ABLATE:
+                        point_bwd(m)
+                        if "no_quad" not in _BWD_ABLATE:
+                            quad_bwd(m, d2)
+                        return carry
+
+                    @pl.when(jnp.any(ids == 2 * m))
+                    def _():
+                        point_bwd(m)
+
+                    if "no_quad" not in _BWD_ABLATE:
+                        @pl.when(jnp.any(ids == 2 * m + 1))
+                        def _():
+                            quad_bwd(m, d2)
+                    return carry
+                lax.fori_loop(lo, hi, body, 0)
+
+        # ---- mip phases: nearest-neighbour point winners ----
+        for p in range(1, 1 if "no_mip" in _BWD_ABLATE
+                       else len(phases_meta)):
+            lvl, n_m, s_first, step_l = phases_meta[p]
+            kpow = 2 ** lvl
+            wpad = levels_meta[p][1]
+            sz0 = _round_up(t0 // kpow + 2 + 8, 8)
+            sz1 = _round_up(t1 // kpow + 128 // kpow + 2 + 8, 128)
+            t1_pad = _round_up(t1 + kpow + 1, 128)
+            r8 = _round_up(sz0 + 7, 8)
+            c128 = _round_up(sz1 + 127, 128)
+            bias = kpow * 16384
+            # transposed one-hot column-upsample: S^T[y, c] = (y//k == c)
+            y_idx = jax.lax.broadcasted_iota(jnp.int32, (t1_pad, sz1), 0)
+            c_idx = jax.lax.broadcasted_iota(jnp.int32, (t1_pad, sz1), 1)
+            s_op_t = (y_idx // kpow == c_idx).astype(jnp.float32)
+            off_p = mip_id_off[p]
+            pres_p = jnp.any((ids >= off_p) & (ids < off_p + n_m))
+
+            @pl.when(pres_p)
+            def _(p=p, kpow=kpow, wpad=wpad, sz0=sz0, sz1=sz1,
+                  t1_pad=t1_pad, r8=r8, c128=c128, bias=bias,
+                  s_op_t=s_op_t, off_p=off_p, n_m=n_m, s_first=s_first,
+                  step_l=step_l):
+                def body(mm, carry):
+                    @pl.when(jnp.any(ids == off_p + mm))
+                    def _():
+                        s = jnp.minimum(
+                            s_first + mm.astype(jnp.float32) * step_l,
+                            dist)
+                        pm = ids == off_p + mm
+                        coef = jnp.where(pm, gv, 0.0) * (1.0 / s)
+                        zc_ref[...] += -coef
+                        ri = jnp.round(s * sh_i).astype(jnp.int32)
+                        rj = jnp.round(s * sh_j).astype(jnp.int32)
+                        c0i = a_base + ri
+                        c1j = b_base + rj
+                        st_i = lax.div(c0i + bias, kpow) - (bias // kpow) \
+                            - lax.div(a_base, kpow) + wpad
+                        st_j = lax.div(c1j + bias, kpow) - (bias // kpow) \
+                            - lax.div(b_base, kpow) + wpad
+                        al_i = lax.rem(c0i + bias, kpow)
+                        al_j = lax.rem(c1j + bias, kpow)
+                        start_i = st_i + deltas[p][0]
+                        start_j = st_j + deltas[p][1]
+                        ia = pl.multiple_of((start_i // 8) * 8, 8)
+                        ja = pl.multiple_of((start_j // 128) * 128, 128)
+                        # adjoint of: lane-shift-left by al_j of the
+                        # column-upsampled rows, sliced to t1
+                        up_cot = jnp.pad(coef, ((0, 0), (0, t1_pad - t1)))
+                        up_cot = pltpu.roll(up_cot, al_j, 1)
+                        rows_cot = jnp.dot(
+                            up_cot, s_op_t,
+                            preferred_element_type=jnp.float32)
+                        # adjoint of the fused row upsample + alignment
+                        # one-hot matmul (R^T)
+                        yy = jax.lax.broadcasted_iota(
+                            jnp.int32, (r8, t0), 1)
+                        cc = jax.lax.broadcasted_iota(
+                            jnp.int32, (r8, t0), 0)
+                        r_op_t = (lax.div(yy + al_i, kpow)
+                                  + (start_i - ia)
+                                  == cc).astype(jnp.float32)
+                        slab_cot = jnp.dot(
+                            r_op_t, rows_cot,
+                            preferred_element_type=jnp.float32)
+                        # adjoint of the lane roll + sz1 slice of the
+                        # aligned slab read
+                        slab = jnp.pad(slab_cot,
+                                       ((0, 0), (0, c128 - sz1)))
+                        slab = pltpu.roll(slab, start_j - ja, 1)
+                        cur = wcot_refs[p][0, pl.ds(ia, r8),
+                                           pl.ds(ja, c128)]
+                        wcot_refs[p][0, pl.ds(ia, r8),
+                                     pl.ds(ja, c128)] = cur + slab
+                    return carry
+                lax.fori_loop(0, n_m, body, 0)
+
+        zcot_ref[0, :, :] += zc_ref[...]
+        return 0
+
+    lax.fori_loop(0, a_chunk, azim_loop, 0)
+
+
+def backward_replay_fn(z_outer, graw, ids, shard_off, *,
+                       tile_map_static, levels_meta, phases_meta, pads,
+                       tile, a_chunk, a_num, a_den, offset, inner_shape,
+                       dx, dy, step, dist, near_ex, ray_org_elev,
+                       interpret):
+    """Unjitted winner-replay backward: Pallas kernel + host assembly.
+
+    Returns the ``z_outer`` cotangent.  ``graw``/``ids``:
+    (a_num, in0, in1) ratio cotangents and winner ids from the
+    argmax-emitting forward."""
+    t0, t1 = tile
+    in0, in1 = inner_shape
+    off0, off1 = offset
+    tmap_np = np.asarray(tile_map_static, dtype=np.int32).reshape(-1, 2)
+    tile_map = jnp.asarray(tmap_np)
+    padded = _padded_levels(z_outer, pads)
+
+    n_soff = 4 + len(levels_meta)
+    if shard_off.shape[0] < n_soff:
+        shard_off = jnp.concatenate(
+            [shard_off,
+             jnp.zeros((n_soff - shard_off.shape[0],), jnp.int32)])
+    z_inner = lax.dynamic_slice(z_outer, (off0 + shard_off[0],
+                                          off1 + shard_off[1]), (in0, in1))
+    z_org = z_inner + jnp.float32(ray_org_elev)
+
+    n_tiles = tile_map.shape[0]
+    grid = (n_tiles, a_num // a_chunk)
+
+    kernel = functools.partial(
+        _bwd_kernel,
+        levels_meta=levels_meta, phases_meta=phases_meta,
+        tile=(t0, t1), a_chunk=a_chunk, a_num=a_num,
+        off0=off0, off1=off1, dx=dx, dy=dy, step=step, dist=dist,
+        near_exact=near_ex)
+
+    azim32 = ((2.0 * np.pi) / a_den * np.arange(a_num)).astype(np.float32)
+    trig = np.stack([np.sin(azim32.astype(np.float64)),
+                     np.cos(azim32.astype(np.float64))],
+                    axis=-1).astype(np.float32)
+
+    tile_spec = pl.BlockSpec(
+        (t0, t1), lambda ti, ak, tm, so: (tm[ti, 0], tm[ti, 1]),
+        memory_space=pltpu.VMEM)
+    ga_spec = pl.BlockSpec(
+        (a_chunk, t0, t1), lambda ti, ak, tm, so: (ak, tm[ti, 0],
+                                                   tm[ti, 1]),
+        memory_space=pltpu.VMEM)
+    in_specs = [tile_spec, ga_spec, ga_spec,
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pl.ANY)]
+    out_specs = [pl.BlockSpec((1,) + (m[2], m[3]),
+                              lambda ti, ak, tm, so: (ti, 0, 0),
+                              memory_space=pltpu.VMEM)
+                 for m in levels_meta]
+    out_specs += [pl.BlockSpec((1, t0, t1),
+                               lambda ti, ak, tm, so: (ti, 0, 0),
+                               memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((n_tiles, m[2], m[3]), jnp.float32)
+                 for m in levels_meta]
+    out_shape += [jax.ShapeDtypeStruct((n_tiles, t0, t1), jnp.float32)]
+    scratch_shapes = [
+        pltpu.VMEM((levels_meta[0][2], levels_meta[0][3]), jnp.float32),
+        pltpu.VMEM((t0, t1), jnp.float32),
+        pltpu.SemaphoreType.DMA,
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch_shapes)
+    # scoped-VMEM budget modelled on the backward's actual residents:
+    # the per-level window-cotangent out blocks + the level-0 read window
+    # (double-buffered), the g/id/z_org in blocks, and roll-slab headroom
+    wcot_bytes = sum(m[2] * m[3] for m in levels_meta) * 4
+    win0_bytes = levels_meta[0][2] * levels_meta[0][3] * 4
+    blk_bytes = 2 * (2 * a_chunk + 3) * t0 * t1 * 4
+    slab_bytes = (t0 + 16) * (t1 + 256) * 4
+    vlim = min(int(2 * wcot_bytes + 2 * win0_bytes + blk_bytes
+                   + 8 * slab_bytes + (8 << 20)), 100 << 20)
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vlim),
+        interpret=interpret,
+    )(tile_map, shard_off, z_org, graw, ids, jnp.asarray(trig), padded[0])
+    wcots = outs[:len(levels_meta)]
+    zcot_tiles = outs[len(levels_meta)]
+
+    # ---- host assembly: overlap-add per-tile window blocks into full
+    # padded level arrays, then route through the pyramid-build VJP ----
+    level_cots = []
+    for p, m in enumerate(levels_meta):
+        k = 2 ** m[0]
+        full = jnp.zeros(padded[p].shape, jnp.float32)
+        for slot in range(tmap_np.shape[0]):
+            a_base = off0 + int(tmap_np[slot, 0]) * t0
+            b_base = off1 + int(tmap_np[slot, 1]) * t1
+            src_i_al = ((a_base // k + 2) // 8) * 8
+            src_j_al = ((b_base // k + 2) // 128) * 128
+            full = lax.dynamic_update_slice(
+                full,
+                lax.dynamic_slice(
+                    full, (src_i_al, src_j_al), (m[2], m[3]))
+                + wcots[p][slot],
+                (src_i_al, src_j_al))
+        level_cots.append(full)
+
+    def pyr_fn(z):
+        return tuple(_padded_levels(z, pads))
+
+    _, vjp_pyr = jax.vjp(pyr_fn, z_outer)
+    (dz,) = vjp_pyr(tuple(level_cots))
+
+    # z_org cotangent: z_org = z_outer[inner slice] + const
+    zcot_full = jnp.zeros((in0, in1), jnp.float32)
+    for slot in range(tmap_np.shape[0]):
+        r0 = int(tmap_np[slot, 0]) * t0
+        c0 = int(tmap_np[slot, 1]) * t1
+        zcot_full = lax.dynamic_update_slice(
+            zcot_full,
+            lax.dynamic_slice(zcot_full, (r0, c0), (t0, t1))
+            + zcot_tiles[slot],
+            (r0, c0))
+    dz = lax.dynamic_update_slice(
+        dz,
+        lax.dynamic_slice(dz, (off0, off1), (in0, in1)) + zcot_full,
+        (off0, off1))
+    return dz
+
+
+#: Jitted entry for :func:`backward_replay_fn`.
+_bwd_core = functools.partial(
+    jax.jit,
+    static_argnames=("tile_map_static", "levels_meta", "phases_meta",
+                     "pads", "tile", "a_chunk", "a_num", "a_den",
+                     "offset", "inner_shape", "dx", "dy", "step", "dist",
+                     "near_ex", "ray_org_elev",
+                     "interpret"))(backward_replay_fn)
+
+
+def _bwd_tile(cfg):
+    """Backward kernel tile: smaller than the forward tile — per-azimuth
+    winner ids concentrate on few ridges, so smaller tiles turn more
+    step-presence tests false (each active step pays the full scatter
+    machinery) and shrink the scatter slabs.  Must divide the padded
+    inner shape."""
+    in0, in1 = cfg.inner_shape
+    t0, t1 = cfg.tile
+    bt0 = t0
+    for c in (64,):
+        if in0 % c == 0:
+            bt0 = c
+            break
+    bt1 = t1
+    for c in (512, 256):
+        if in1 % c == 0 and c <= t1:
+            bt1 = c
+            break
+    return bt0, bt1
+
+
+def _hz_bwd_replay(cfg, z_outer, tilt_ramp, raw, ids, g):
+    """Chain the output cotangent through clip/arctan, split the tilt-ramp
+    term, and run the winner-replay backward kernel."""
+    graw = jnp.moveaxis(g, -1, 0)
+    th = jnp.arctan(raw)
+    lo = math.radians(cfg.elev_lims[0])
+    hi = math.radians(cfg.elev_lims[1])
+    inside = (th >= lo) & (th <= hi)
+    graw = jnp.where(inside, graw, 0.0) / (1.0 + raw * raw)
+    if cfg.azim_pad > cfg.azim_num:
+        graw = jnp.pad(graw, ((0, cfg.azim_pad - cfg.azim_num),
+                              (0, 0), (0, 0)))
+    dr = None
+    if tilt_ramp is not None:
+        azim32 = ((2.0 * np.pi) / cfg.azim_num
+                  * np.arange(cfg.azim_num)).astype(np.float32)
+        sin_t = jnp.asarray(np.sin(azim32.astype(np.float64)),
+                            dtype=jnp.float32)
+        cos_t = jnp.asarray(np.cos(azim32.astype(np.float64)),
+                            dtype=jnp.float32)
+        dr = (jnp.einsum("aij,a->ij", graw, sin_t),
+              jnp.einsum("aij,a->ij", graw, cos_t))
+    soff = jnp.zeros((4,), dtype=jnp.int32)
+    # Re-tile for the backward: rebuild the level metadata and a full
+    # tile map at the (smaller) backward tile.
+    bt0, bt1 = _bwd_tile(cfg)
+    schedule = _sweep.build_schedule(cfg.step, cfg.dist, cfg.rel_err,
+                                     max_level=cfg.max_level)
+    lm_b, pm_b = _build_metas(schedule, bt0, bt1, cfg.step)
+    in0, in1 = cfg.inner_shape
+    tmap_b = tuple(map(tuple, tile_schedule(
+        (in0, in1), (bt0, bt1)).tolist()))
+    budget = max(1, (1 << 20) // (bt0 * bt1 * 4))
+    a_chunk_b = min(budget, cfg.azim_pad)
+    while cfg.azim_pad % a_chunk_b:
+        a_chunk_b -= 1
+    dz = _bwd_core(
+        z_outer, graw, ids, soff, tile_map_static=tmap_b,
+        levels_meta=tuple(lm_b), phases_meta=tuple(pm_b),
+        pads=cfg.pads, tile=(bt0, bt1), a_chunk=a_chunk_b,
+        a_num=cfg.azim_pad, a_den=cfg.azim_num, offset=cfg.offset,
+        inner_shape=cfg.inner_shape, dx=cfg.dx, dy=cfg.dy, step=cfg.step,
+        dist=cfg.dist, near_ex=cfg.near_ex,
+        ray_org_elev=cfg.ray_org_elev, interpret=cfg.interpret)
+    return dz, dr
 
 
 def shadow_sun_table(sun_positions, center, dx, dy):
@@ -1424,7 +2047,7 @@ def shadow_metric_pallas(z_outer, z_org_r, z_inner_r, sun_table, *,
                          schedule, offset, inner_shape, dx, dy,
                          grid_origin, tile=(128, 256), t_chunk=None,
                          mask=None, interpret=False,
-                         pyramid=None, pooled=None):
+                         pyramid=None, pooled=None, exact_metric=True):
     """Batched shadow occlusion metric via the fused Pallas kernel.
 
     Returns (T, in0, in1) float32: max over the sun ray of
@@ -1478,7 +2101,7 @@ def shadow_metric_pallas(z_outer, z_org_r, z_inner_r, sun_table, *,
         dist=float(schedule.dist), near_ex=near_ex,
         n_safe=max(0, halo_cells - 2),
         grid_origin=(float(grid_origin[0]), float(grid_origin[1])),
-        interpret=interpret,
+        interpret=interpret, exact_metric=bool(exact_metric),
         pyramid=None if pyramid is None else tuple(pyramid),
         pooled=None if pooled is None else tuple(pooled))
     return out[:num_sun]
@@ -1488,7 +2111,7 @@ def shadow_forward_fn(z_outer, z_org_r, z_inner_r, sun_table, tile_map,
                       shard_off, *, levels_meta, phases_meta, pads, tile,
                       t_chunk, offset, inner_shape, dx, dy, step, dist,
                       near_ex, n_safe, grid_origin, interpret,
-                      pyramid=None, pooled=None):
+                      pyramid=None, pooled=None, exact_metric=True):
     """Unjitted fused shadow forward: pyramid + padding + Pallas kernel.
 
     Safe to embed in ``shard_map``; ``tile_map``/``shard_off`` as in
@@ -1526,7 +2149,7 @@ def shadow_forward_fn(z_outer, z_org_r, z_inner_r, sun_table, tile_map,
         off0=off0, off1=off1, outer_shape=tuple(z_outer.shape),
         dx=dx, dy=dy, step=step, dist=dist,
         near_exact=near_ex, n_safe=n_safe, mode="shadow",
-        grid_origin=grid_origin)
+        grid_origin=grid_origin, exact_metric=exact_metric)
 
     tile_spec = pl.BlockSpec(
         (t0, t1), lambda ti, tk, tm, so: (tm[ti, 0], tm[ti, 1]),
@@ -1574,4 +2197,4 @@ _shadow_core = functools.partial(
     static_argnames=("levels_meta", "phases_meta", "pads", "tile",
                      "t_chunk", "offset", "inner_shape", "dx", "dy", "step",
                      "dist", "near_ex", "n_safe", "grid_origin",
-                     "interpret"))(shadow_forward_fn)
+                     "interpret", "exact_metric"))(shadow_forward_fn)

@@ -104,11 +104,21 @@ def _sun_step(z_outer, fields, sun_position, *, sched_meta, pads, offset,
 
 
 def _classify_one(fields, sun_position, occluded, *, refrac_cor, mode,
-                  ang_max, curved):
+                  ang_max, curved, metric=None, soft_tau=None,
+                  straight_through=True):
     """Per-cell illumination classification given the occlusion result
-    (shadow_comp.cpp:449-484 / :561-596)."""
+    (shadow_comp.cpp:449-484 / :561-596).
+
+    ``metric``/``soft_tau``: optional soft occlusion for ``sw_dir_cor``
+    (SURVEY.md section 7 step 8) — the hard step ``metric > 0`` has zero
+    gradient w.r.t. elevation almost everywhere, so the soft path uses
+    ``sigmoid(metric / soft_tau)`` (``metric`` is the signed clearance
+    maximum in metres).  With ``straight_through`` the forward value stays
+    the HARD result bit-for-bit and only the backward uses the sigmoid."""
     if curved:
         occluded = occluded[fields["bi"], fields["bj"]]
+        if metric is not None:
+            metric = metric[fields["bi"], fields["bj"]]
 
     # ---- Per-cell classification at the original cells -------------------
     x_in = fields["x_in"]
@@ -139,9 +149,71 @@ def _classify_one(fields, sun_position, occluded, *, refrac_cor, mode,
         # Mueller & Scherer (2005) factor (shadow_comp.cpp:561-596)
         dot_min = jnp.float32(math.cos(math.radians(ang_max)))
         val = (dot_ts / jnp.maximum(dot_ns, dot_min)) * fields["surf_enl_fac"]
-        val = jnp.where(occluded, 0.0, val)
+        if metric is not None and soft_tau is not None:
+            occ_soft = jax.nn.sigmoid(metric / jnp.float32(soft_tau))
+            if straight_through:
+                occ_eff = occ_soft + jax.lax.stop_gradient(
+                    jnp.where(occluded, 1.0, 0.0) - occ_soft)
+            else:
+                occ_eff = occ_soft
+            val = val * (1.0 - occ_eff)
+        else:
+            val = jnp.where(occluded, 0.0, val)
         out = jnp.where(dot_ts > dot_min, val, 0.0)
         return jnp.where(mask, out, fields["sw_dir_cor_fill"])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sched_meta", "pads", "offset", "comp_shape",
+                     "refrac_cor", "ang_max", "curved", "soft_tau",
+                     "straight_through"))
+def _soft_sun_step(z_outer, fields, sun_position, *, sched_meta, pads,
+                   offset, comp_shape, refrac_cor, ang_max, curved,
+                   soft_tau, straight_through):
+    """Differentiable sw_dir_cor for one sun position (XLA sweep engine).
+
+    Rebuilds the lattice ray-origin fields from the traced ``z_outer`` so
+    gradients w.r.t. elevation flow through the occlusion metric, the sun
+    unit vector and (on regular grids) the classification heights; the
+    hard occlusion step is softened per :func:`_classify_one`."""
+    z_inner_r = jax.lax.dynamic_slice(z_outer, offset, comp_shape)
+    z_org_r = z_inner_r + _RAY_ORG_ELEV * fields["norm_r_z"]
+    xr = fields["xr"]
+    yr = fields["yr"]
+    dxdy = fields["dxdy"]
+
+    sxr = sun_position[0] - xr
+    syr = sun_position[1] - yr
+    szr = sun_position[2] - z_org_r
+    mag_r = jnp.sqrt(sxr * sxr + syr * syr + szr * szr)
+    cx = fields["center"][0]
+    cy = fields["center"][1]
+    kx = sun_position[0] - cx
+    ky = sun_position[1] - cy
+    k_norm = jnp.sqrt(kx * kx + ky * ky)
+    near_vertical = k_norm < 1.0e-6
+    kx_u = jnp.where(near_vertical, 1.0, kx / jnp.maximum(k_norm, 1e-6))
+    ky_u = jnp.where(near_vertical, 0.0, ky / jnp.maximum(k_norm, 1e-6))
+    u_cells = jnp.stack([ky_u / dxdy[1], kx_u / dxdy[0]])
+    adv = (sxr * kx_u + syr * ky_u) / mag_r
+    m_slope = (szr / mag_r) / jnp.maximum(adv, 1.0e-4)
+    metric = _sweep._shadow_metric_core(
+        z_outer, z_org_r, z_inner_r, m_slope, u_cells,
+        fields["s_phases"], sched_meta=sched_meta, pads=pads,
+        offset=offset, inner_shape=comp_shape)
+    occluded = jnp.logical_and(metric > 0.0,
+                               jnp.logical_not(near_vertical))
+    metric = jnp.where(near_vertical, jnp.float32(-1.0e30), metric)
+    if not curved:
+        # regular grid: the classification heights are the lattice
+        # heights — recompute from the traced elevation
+        fields = dict(fields, z_org=z_org_r)
+    return _classify_one(fields, sun_position, occluded,
+                         refrac_cor=refrac_cor, mode="sw_dir_cor",
+                         ang_max=ang_max, curved=curved, metric=metric,
+                         soft_tau=soft_tau,
+                         straight_through=straight_through)
 
 
 @functools.partial(
@@ -342,9 +414,12 @@ class Terrain:
                 self._z_outer, self.schedule.pads, lm)
             self._pallas_pyramid = tuple(padded)
             self._pallas_pooled = tuple(pooled)
+        norm_r_z = (vec_norm[..., 2] if not self._curved
+                    else norm_r[..., 2])
         fields = {
             "x_in": jnp.asarray(x_in),
             "y_in": jnp.asarray(y_in),
+            "norm_r_z": jnp.asarray(norm_r_z, dtype=jnp.float32),
             "z_org": jnp.asarray(z_org, dtype=jnp.float32),
             "xr": jnp.asarray(xr, dtype=jnp.float32),
             "yr": jnp.asarray(yr, dtype=jnp.float32),
@@ -416,13 +491,18 @@ class Terrain:
         sp = np.atleast_2d(sun_position)
         table, near_vert = _pallas.shadow_sun_table(
             sp, self._pallas_center, self.grid.dx, self.grid.dy)
+        # exact_metric=False: Terrain only thresholds the metric at 0,
+        # so the kernel may also early-exit tiles whose cells are all
+        # already occluded (sign-exact; the magnitude-exact mode is for
+        # callers comparing metrics across tilings)
         metric = _pallas.shadow_metric_pallas(
             self._z_outer, self._pallas_zorg, self._pallas_zinner, table,
             schedule=self.schedule, offset=self.offset,
             inner_shape=self._pallas_shape, dx=self.grid.dx,
             dy=self.grid.dy, grid_origin=self._grid_origin,
             tile=self._pallas_tile, interpret=interpret,
-            pyramid=self._pallas_pyramid, pooled=self._pallas_pooled)
+            pyramid=self._pallas_pyramid, pooled=self._pallas_pooled,
+            exact_metric=False)
         metric = metric[:, :self.comp_shape[0], :self.comp_shape[1]]
         occluded = jnp.logical_and(
             metric > 0.0,
@@ -458,3 +538,39 @@ class Terrain:
     def sw_dir_cor_batch(self, sun_positions):
         """Correction factors for a (T, 3) sun track in one device call."""
         return np.asarray(self._run(sun_positions, "sw_dir_cor"))
+
+    def sw_dir_cor_soft(self, sun_position, elevation=None, soft_tau=1.0,
+                        straight_through=True):
+        """Differentiable shortwave correction factor (soft occlusion).
+
+        The hard terrain-occlusion step (shadow_comp.cpp:563-576) has zero
+        gradient w.r.t. elevation almost everywhere; this entry softens it
+        to ``sigmoid(clearance / soft_tau)`` (``soft_tau`` in metres of
+        signed clearance) per SURVEY.md section 7 step 8.  With
+        ``straight_through`` (default) the forward VALUES equal the hard
+        :meth:`sw_dir_cor` result computed by the XLA sweep engine and
+        only the backward uses the sigmoid; ``straight_through=False``
+        gives the fully soft value (use for finite-difference checks).
+
+        ``elevation``: optional outer compute-lattice heightfield to
+        differentiate through (defaults to the stored terrain).  Returns
+        a jnp array (keep it traced to take grads).  On curved meshes the
+        per-cell classification fields stay at their initialise() values;
+        gradients flow through the occlusion metric and sun geometry.
+        """
+        sun_position = self._check(sun_position)
+        z = (self._z_outer if elevation is None
+             else jnp.asarray(elevation, dtype=jnp.float32))
+        kw = dict(sched_meta=self.schedule.meta(),
+                  pads=self.schedule.pads, offset=self.offset,
+                  comp_shape=self.comp_shape,
+                  refrac_cor=self.refrac_cor, ang_max=self.ang_max,
+                  curved=self._curved, soft_tau=float(soft_tau),
+                  straight_through=bool(straight_through))
+        if sun_position.ndim == 1:
+            return _soft_sun_step(z, self._fields,
+                                  jnp.asarray(sun_position), **kw)
+        step = functools.partial(_soft_sun_step, **kw)
+        return jax.lax.map(
+            lambda sp: step(z, self._fields, sp),
+            jnp.asarray(sun_position))

@@ -267,13 +267,31 @@ def test_sharded_pallas_gradients(terrain):
     gz_m, gr_m = jax.grad(loss_sharded, argnums=(0, 1))(z, ramp)
     gmax = float(jnp.abs(gz_s).max())
     assert gmax > 0.0
-    # Both VJPs recompute through the same XLA sweep; sharding reassociates
-    # f32 sums (~1e-6 on the recomputed values), which can flip near-tied
-    # running-max winners and reroute that sample's gradient — so the
-    # height cotangent matches to a routing-aware bound while the smooth
-    # ramp cotangent matches tightly.
-    np.testing.assert_allclose(np.asarray(gz_m), np.asarray(gz_s),
-                               atol=3e-2 * gmax)
+    # The single-device path differentiates the kernel's exact forward via
+    # the winner-replay backward; the sharded VJP recomputes through the
+    # XLA sweep, whose forward agrees within the accuracy contract but
+    # not bitwise (trailing-window vs midpoint parabolas) — so a few
+    # cells' winners resolve differently and their whole gradient
+    # contribution moves between neighbouring cells.  A finite-difference
+    # check of the single-device replay gradient is the ground truth; the
+    # cross-backend comparison is routing-aware: bounded mismatch count
+    # pointwise, directional agreement to the contract-level tolerance.
+    diff = np.abs(np.asarray(gz_m) - np.asarray(gz_s))
+    n_off = int((diff > 3e-2 * gmax).sum())
+    assert n_off <= max(24, int(0.02 * diff.size)), (
+        f"{n_off} cells beyond routing bound (max diff {diff.max():.2e}, "
+        f"gmax {gmax:.2e})")
+    v = jnp.asarray(rng.normal(size=diff.shape).astype(np.float32))
+    d_s = float(jnp.vdot(gz_s, v))
+    d_m = float(jnp.vdot(gz_m, v))
+    assert abs(d_s - d_m) < 0.25 * (abs(d_s) + abs(d_m)) + 1e-9
+    eps = 0.05
+    fd = (float(loss_single(z + eps * v, ramp))
+          - float(loss_single(z - eps * v, ramp))) / (2 * eps)
+    assert abs(d_s - fd) < 0.05 * (abs(fd) + abs(d_s)) + 1e-9, (d_s, fd)
     for a, b in zip(gr_m, gr_s):
+        # ramp cotangents are smooth (no winner routing) but the two
+        # backends chain through their own forwards' raw ratios —
+        # contract-level agreement, not bitwise
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   atol=1e-9)
+                                   rtol=5e-3, atol=1e-9)

@@ -169,3 +169,72 @@ def test_pallas_compiled_memory_within_limit():
         assert hbm_bytes < 4 << 30, f"unexpected HBM footprint: {hbm_bytes}"
     except Exception:
         pass  # backend without memory_analysis: compile success suffices
+
+
+def _curved_setup_large(n, dlat, elev_fn):
+    from horayzon_tpu import direction, transform
+
+    lat0, lon0 = 45.0, 7.0
+    lat = lat0 + (np.arange(n)[::-1] - n / 2) * dlat
+    lon = lon0 + (np.arange(n) - n / 2) * dlat
+    lon2, lat2 = np.meshgrid(lon, lat)
+    elevation = elev_fn(lon2, lat2).astype(np.float32)
+    trans = transform.TransformerEcef2enu(lon0, lat0, "sphere")
+    xe, ye, ze = transform.lonlat2ecef(lon2, lat2, elevation, "sphere")
+    x, y, z = transform.ecef2enu(xe, ye, ze, trans)
+    vn_ecef = direction.surf_norm(lon2, lat2)
+    vnorth_ecef = direction.north_dir(xe, ye, ze, vn_ecef, "sphere")
+    vec_norm = transform.ecef2enu_vector(vn_ecef, trans)
+    vec_north = transform.ecef2enu_vector(vnorth_ecef, trans)
+    return x, y, z, vec_norm, vec_north
+
+
+def test_curved_tilt_ramp_at_reference_scale():
+    """Tilt-ramp fast path vs general-mode sweep on a reference-scale
+    curved domain (~104 km, SRTM-like 90 m spacing, 384^2 inner, 20 km
+    search).
+
+    The docstring claim (horizon.py::_curved_gridded) is O(tilt^2)
+    <~ 1e-4 rad error over 100 km domains; this MEASURES it: both engines
+    run on the same planarised lattice, so the deviation isolates the
+    tilt-ramp approximation against the hori_acc = 0.25 deg budget."""
+    _require_tpu()
+    from horayzon_tpu import auxiliary, horizon
+
+    # ~104 km domain at 90 m (SRTM-like) spacing; inner 384^2, 20 km
+    # search (the gridded_curved_DEM.py configuration scale)
+    n = 1152
+    dlat = 0.000833
+    rng = np.random.default_rng(4)
+
+    def elev_fn(lon2, lat2):
+        zz = np.zeros_like(lon2)
+        for _ in range(24):
+            clon = rng.uniform(lon2.min(), lon2.max())
+            clat = rng.uniform(lat2.min(), lat2.max())
+            sig = rng.uniform(0.01, 0.12)
+            zz += rng.uniform(200, 1500) * np.exp(
+                -(((lon2 - clon) ** 2 + (lat2 - clat) ** 2)
+                  / (2 * sig ** 2)))
+        return zz
+
+    x, y, z, vec_norm, vec_north = _curved_setup_large(n, dlat, elev_fn)
+    inner = 384
+    off = (n - inner) // 2
+    vert_grid = auxiliary.rearrange_pad_buffer(x, y, z)
+    kw = dict(dist_search=20.0, azim_num=8, hori_acc=0.25,
+              elev_ang_low_lim=-15.0, verbose=False)
+    h_ramp, _ = horizon.horizon_gridded(
+        vert_grid, n, n, vec_norm[off:off + inner, off:off + inner],
+        vec_north[off:off + inner, off:off + inner], off, off,
+        engine="pallas", **kw)
+    h_gen, _ = horizon.horizon_gridded(
+        vert_grid, n, n, vec_norm[off:off + inner, off:off + inner],
+        vec_north[off:off + inner, off:off + inner], off, off,
+        engine="sweep", **kw)
+    dev_deg = np.rad2deg(np.abs(np.asarray(h_ramp) - np.asarray(h_gen)))
+    # measured round 4 on one v5e chip: see assertion bound; the 0.25 deg
+    # hori_acc budget must hold with wide margin
+    assert dev_deg.max() < 0.12, f"max deviation {dev_deg.max():.4f} deg"
+    assert np.percentile(dev_deg, 99) < 0.05, (
+        f"p99 deviation {np.percentile(dev_deg, 99):.4f} deg")
