@@ -111,9 +111,44 @@ def _device_kind():
         return ""
 
 
+def _tune_cache_path():
+    import os
+    base = os.environ.get(
+        "HORAYZON_TPU_AUX_DATA",
+        os.path.join(os.path.expanduser("~"), ".cache", "horayzon_tpu"))
+    return os.path.join(base, "tile_costs.json")
+
+
+_TUNE_CACHE = None
+
+
+def _tuned_tables():
+    """Device-keyed tables measured by ``tools/ablate_kernel.py
+    --tile-sweep`` (the one-command autotune); {} when none cached."""
+    global _TUNE_CACHE
+    if _TUNE_CACHE is None:
+        import json
+        try:
+            _TUNE_CACHE = json.load(open(_tune_cache_path()))
+        except Exception:
+            _TUNE_CACHE = {}
+    return _TUNE_CACHE.get(_device_kind(), {})
+
+
 def _lane_tile_cost():
+    tuned = _tuned_tables().get("lane_cost")
+    if tuned:
+        return {int(k): float(v) for k, v in tuned.items()}
     return _LANE_TILE_COST_TABLES.get(_device_kind(),
                                       _LANE_TILE_COST_FALLBACK)
+
+
+def _tile_cost_table():
+    tuned = _tuned_tables().get("tile_cost")
+    if tuned:
+        return {tuple(int(x) for x in k.split("x")): float(v)
+                for k, v in tuned.items()}
+    return _TILE_COST_TABLES.get(_device_kind(), _TILE_COST_FALLBACK)
 
 
 def _masked_tile_choice(outer_shape, offset, inner_shape, mask):
@@ -144,7 +179,7 @@ def _masked_tile_choice(outer_shape, offset, inner_shape, mask):
     def up(x, m):
         return ((x + m - 1) // m) * m
 
-    table = _TILE_COST_TABLES.get(_device_kind(), _TILE_COST_FALLBACK)
+    table = _tile_cost_table()
     mask = np.asarray(mask)
     rows = np.flatnonzero(mask.any(axis=1))
     cols = np.flatnonzero(mask.any(axis=0))

@@ -43,6 +43,11 @@ def main():
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--configs", type=str, default="",
                     help="comma-separated subset of config names to run")
+    ap.add_argument("--tile-sweep", action="store_true",
+                    help="measure the kernel tile-shape cost table for "
+                         "THIS device and cache it for "
+                         "horizon._masked_tile_choice / "
+                         "_pallas_padded_shape (one-command autotune)")
     args = ap.parse_args()
 
     import jax
@@ -54,6 +59,9 @@ def main():
     z = make_terrain(h, w)
     z_dev = jnp.asarray(z)
     tile = tuple(int(t) for t in args.tile.split(","))
+
+    if args.tile_sweep:
+        return tile_sweep(args)
 
     sched = sweep.build_schedule(args.dx, args.dist * 1000.0,
                                  sweep.default_rel_err(0.25))
@@ -114,6 +122,79 @@ def main():
     cells = in0 * in1
     print(f"\nfull: {cells * args.azim * sched.num_samples / base / 1e9:.1f}"
           f" G samples/s")
+
+
+def tile_sweep(args):
+    """Measure wall time per kernel tile shape at the bench shape,
+    subtract the host<->device roundtrip latency, and cache the relative
+    table keyed by device kind (horizon.py loads it over its built-ins).
+
+    Usage: python tools/ablate_kernel.py --tile-sweep"""
+    import json
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    from horayzon_tpu import horizon as _hz
+    from horayzon_tpu.ops import pallas_sweep
+
+    in0 = in1 = args.inner
+    h = w = args.inner + 2 * args.halo
+    z_dev = jnp.asarray(make_terrain(h, w))
+
+    # roundtrip latency of a dependent scalar readback
+    tiny = jnp.ones((8, 8))
+    float(jnp.mean(tiny))
+    lat = min(_t(lambda: float(jnp.mean(tiny))) for _ in range(5))
+    print(f"roundtrip latency: {lat * 1e3:.1f} ms")
+
+    shapes = [(128, 1024), (128, 512), (128, 256), (64, 1024), (64, 512),
+              (64, 256), (32, 1024), (32, 512), (32, 256), (16, 1024),
+              (16, 512), (16, 256), (8, 256)]
+    walls = {}
+    for tile in shapes:
+        if in0 % tile[0] or in1 % tile[1]:
+            continue
+
+        def run(tile=tile):
+            return float(jnp.mean(pallas_sweep.horizon_sweep_pallas(
+                z_dev, dx=args.dx, dy=-args.dx,
+                offset=(args.halo, args.halo), inner_shape=(in0, in1),
+                azim_num=args.azim, dist_search=args.dist * 1000.0,
+                hori_acc=0.25, tile=tile)))
+
+        run()
+        dt = max(min(_t(run) for _ in range(args.iters)) - lat, 1e-6)
+        walls[tile] = dt
+        print(f"tile={tile}: {dt:.4f} s (latency-corrected)")
+
+    base = walls[min(walls, key=walls.get)]
+    kind = _hz._device_kind()
+    table = {f"{t0}x{t1}": round(v / base, 4)
+             for (t0, t1), v in walls.items()}
+    lane = {str(t1): round(min(v / base for (a0, a1), v in walls.items()
+                               if a1 == t1 and a0 == 128), 4)
+            for t1 in (256, 512, 1024)
+            if any(a1 == t1 and a0 == 128 for (a0, a1) in walls)}
+    lane_base = lane.get("256", 1.0)
+    lane = {k: round(v / lane_base, 4) for k, v in lane.items()}
+    path = _hz._tune_cache_path()
+    try:
+        cache = json.load(open(path))
+    except Exception:
+        cache = {}
+    cache[kind] = {"tile_cost": table, "lane_cost": lane}
+    import os
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(cache, f, indent=1, sort_keys=True)
+    print(f"wrote {path} [{kind}]")
+
+
+def _t(run):
+    t0 = time.perf_counter()
+    run()
+    return time.perf_counter() - t0
 
 
 if __name__ == "__main__":
