@@ -210,14 +210,18 @@ def _kernel(tmap_ref, soff_ref, z_org_ref, z_inner_ref, *refs, levels_meta,
     pool_refs = refs[n_levels:2 * n_levels]
     out_ref = refs[2 * n_levels]
     idout_ref = None
+    auxout_ref = None
     n_out = 1
     if emit_argmax:
         # Gradient-path forward: a second int32 output records, per
         # (azimuth, cell), the id of the candidate that produced the
-        # running max (see _candidate_ids) so the backward kernel replays
-        # only winning candidates (SURVEY.md section 7 step 8).
+        # running max, and a third f32 output the winning interior
+        # parabola's stationary denominator D = s_start + t*, so the
+        # backward kernel replays only winning candidates and needs no
+        # height re-reads (SURVEY.md section 7 step 8).
         idout_ref = refs[2 * n_levels + 1]
-        n_out = 2
+        auxout_ref = refs[2 * n_levels + 2]
+        n_out = 3
     win_refs = refs[2 * n_levels + n_out:3 * n_levels + n_out]
     pwin_refs = refs[3 * n_levels + n_out:4 * n_levels + n_out]
     wmax_ref = refs[4 * n_levels + n_out]   # SMEM (n_levels + 1,): per-level
@@ -427,9 +431,14 @@ def _kernel(tmap_ref, soff_ref, z_org_ref, z_inner_ref, *refs, levels_meta,
             cand = jnp.where(valid, r_int, _NEG_INIT)
             if not emit_argmax:
                 return jnp.maximum(acc, cand)
-            a0, i0 = acc
+            # Grad path: also record the stationary denominator
+            # D = s_start + t* = g / a (one divide, grad path only) so
+            # the backward's envelope partials need NO height re-reads.
+            a0, i0, x0 = acc
             upd = cand > a0
-            return (jnp.where(upd, cand, a0), jnp.where(upd, cid, i0))
+            d_raw = g / jnp.where(jnp.abs(a_c) > 1e-30, a_c, 1e-30)
+            return (jnp.where(upd, cand, a0), jnp.where(upd, cid, i0),
+                    jnp.where(upd, d_raw, x0))
 
         def point_update(acc, he, s_end, cid=None):
             if shadow:
@@ -437,9 +446,9 @@ def _kernel(tmap_ref, soff_ref, z_org_ref, z_inner_ref, *refs, levels_meta,
             cand = (he - z_org) * (1.0 / s_end)
             if not emit_argmax:
                 return jnp.maximum(acc, cand)
-            a0, i0 = acc
+            a0, i0, x0 = acc
             upd = cand > a0
-            return (jnp.where(upd, cand, a0), jnp.where(upd, cid, i0))
+            return (jnp.where(upd, cand, a0), jnp.where(upd, cid, i0), x0)
 
         inv_l0 = 1.0 / step
         inv_l1 = 0.5 / step
@@ -578,7 +587,8 @@ def _kernel(tmap_ref, soff_ref, z_org_ref, z_inner_ref, *refs, levels_meta,
         if emit_argmax:
             # no-winner sentinel: larger than any candidate id, so range
             # presence tests in the backward never match it
-            neg = (neg, jnp.full((t0, t1), ID_NONE, jnp.int32))
+            neg = (neg, jnp.full((t0, t1), ID_NONE, jnp.int32),
+                   jnp.full((t0, t1), 1.0, jnp.float32))
         acc, h2, h1 = neg, z_inner, z_inner
 
         if ns2 > 0:
@@ -944,8 +954,9 @@ def _kernel(tmap_ref, soff_ref, z_org_ref, z_inner_ref, *refs, levels_meta,
                 acc = lax.cond(skip, lambda a: a, run_phase, acc)
 
         if emit_argmax:
-            acc, aid = acc
+            acc, aid, aux = acc
             idout_ref[k_local, :, :] = aid
+            auxout_ref[k_local, :, :] = aux
         if ramp_refs is not None:
             acc = acc + ux * ramp_refs[0][...] + uy * ramp_refs[1][...]
         # atan is applied outside the kernel (no Pallas TPU lowering);
@@ -1326,9 +1337,11 @@ def pallas_forward_fn(z_outer, tilt_ramp, tile_map, shard_off, *,
     out_shape = jax.ShapeDtypeStruct((n_az_out, in0, in1), jnp.float32)
     out_specs = out_spec
     if emit_argmax:
-        out_specs = [out_spec, out_spec]
+        out_specs = [out_spec, out_spec, out_spec]
         out_shape = [out_shape,
-                     jax.ShapeDtypeStruct((n_az_out, in0, in1), jnp.int32)]
+                     jax.ShapeDtypeStruct((n_az_out, in0, in1), jnp.int32),
+                     jax.ShapeDtypeStruct((n_az_out, in0, in1),
+                                          jnp.float32)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=grid,
@@ -1348,9 +1361,10 @@ def pallas_forward_fn(z_outer, tilt_ramp, tile_map, shard_off, *,
     )(tile_map, shard_off, z_org, z_inner, *mask_args, jnp.asarray(trig),
       *ramp_args, *padded, *pooled)
     if emit_argmax:
-        # raw ratio + winner ids; the caller applies arctan/clip and keeps
-        # both as residuals for the winner-replay backward
-        return out[0], out[1]
+        # raw ratio + winner ids + stationary denominators; the caller
+        # applies arctan/clip and keeps these as residuals for the
+        # winner-replay backward
+        return out[0], out[1], out[2]
     return jnp.clip(jnp.arctan(out),
                     math.radians(elev_lims[0]),
                     math.radians(elev_lims[1]))
@@ -1459,11 +1473,11 @@ def _grad_mode():
 def _hz_fwd(cfg, z_outer, tilt_ramp, mask_arr):
     if _grad_mode() == "recompute":
         return (_hz_fwd_value(cfg, z_outer, tilt_ramp, mask_arr),
-                (z_outer, tilt_ramp, mask_arr, None, None))
+                (z_outer, tilt_ramp, mask_arr, None, None, None))
     tmap = jnp.asarray(np.asarray(cfg.tile_map, dtype=np.int32)
                        .reshape(-1, 2))
     soff = jnp.zeros((4,), dtype=jnp.int32)
-    raw, ids = _pallas_core(
+    raw, ids, aux = _pallas_core(
         z_outer, tilt_ramp, tmap, soff, mask_arr=mask_arr,
         emit_argmax=True,
         levels_meta=cfg.levels_meta, phases_meta=cfg.phases_meta,
@@ -1473,17 +1487,17 @@ def _hz_fwd(cfg, z_outer, tilt_ramp, mask_arr):
         dist=cfg.dist, near_ex=cfg.near_ex, n_safe=cfg.n_safe,
         ray_org_elev=cfg.ray_org_elev, elev_lims=cfg.elev_lims,
         interpret=cfg.interpret)
-    # ids stay azimuth-padded (the backward grid needs rows divisible by
-    # a_chunk); raw is sliced for the primal/chain
+    # ids/aux stay azimuth-padded (the backward grid needs rows divisible
+    # by a_chunk); raw is sliced for the primal/chain
     raw = raw[:cfg.azim_num]
     out = jnp.clip(jnp.arctan(jnp.moveaxis(raw, 0, -1)),
                    math.radians(cfg.elev_lims[0]),
                    math.radians(cfg.elev_lims[1]))
-    return out, (z_outer, tilt_ramp, mask_arr, raw, ids)
+    return out, (z_outer, tilt_ramp, mask_arr, raw, ids, aux)
 
 
 def _hz_bwd(cfg, residuals, g):
-    z_outer, tilt_ramp, mask_arr, raw, ids = residuals
+    z_outer, tilt_ramp, mask_arr, raw, ids, aux = residuals
     dm = None
     if mask_arr is not None:
         # integer-dtype primal -> symbolic-zero cotangent
@@ -1493,7 +1507,7 @@ def _hz_bwd(cfg, residuals, g):
                          z_outer, tilt_ramp)
         dz, dr = vjp(g)
         return (dz, dr, dm)
-    dz, dr = _hz_bwd_replay(cfg, z_outer, tilt_ramp, raw, ids, g)
+    dz, dr = _hz_bwd_replay(cfg, z_outer, tilt_ramp, raw, ids, aux, g)
     return (dz, dr, dm)
 
 
@@ -1510,9 +1524,9 @@ _BWD_DCH = 32
 _BWD_ABLATE = frozenset()
 
 
-def _bwd_kernel(tmap_ref, soff_ref, z_org_ref, g_ref, id_ref, *refs,
-                levels_meta, phases_meta, tile, a_chunk, a_num, off0, off1,
-                dx, dy, step, dist, near_exact):
+def _bwd_kernel(tmap_ref, soff_ref, z_org_ref, g_ref, id_ref, aux_ref,
+                *refs, levels_meta, phases_meta, tile, a_chunk, a_num,
+                off0, off1, dx, dy, step, dist, near_exact):
     """Winner-replay backward kernel (horizon modes).
 
     Grid and tile/window geometry mirror :func:`_kernel`.  Inputs: the
@@ -1520,26 +1534,25 @@ def _bwd_kernel(tmap_ref, soff_ref, z_org_ref, g_ref, id_ref, *refs,
     argmax-emitting forward, chained through arctan/clip by the caller).
     For each candidate id present in the tile (range presence tests skip
     whole dense chunks / mip phases; equality tests skip single steps),
-    the kernel recomputes the candidate's closed-form partials — envelope
+    the kernel computes the candidate's closed-form partials — envelope
     theorem for interior-parabola winners: at the stationary point t* the
-    total derivative equals the partial at fixed t* — and accumulates
-    bilinear-weighted contributions into per-tile, per-level window
-    cotangents plus a per-cell ``z_org`` cotangent.  The host overlap-adds
-    the window blocks into full level arrays and routes them through the
-    VJP of the pyramid build (max-pools) to ``z_outer``.
+    total derivative equals the partial at fixed t*, and the forward
+    recorded t* via ``aux_ref`` (D = s_start + t*), so NO heights are
+    re-read — and accumulates bilinear-weighted contributions into
+    per-tile, per-level window cotangents plus a per-cell ``z_org``
+    cotangent.  The host overlap-adds the window blocks into full level
+    arrays and routes them through the VJP of the pyramid build
+    (max-pools) to ``z_outer``.
 
-    refs layout: [trig (SMEM), lvl_0 (ANY)] then outputs
+    refs layout: [trig (SMEM)] then outputs
     [wcot_0.. wcot_{L-1} (each (1, wsz0_p, wsz1_p)), zcot (1, t0, t1)]
-    then scratch [win_0 (VMEM), zc (VMEM t0 x t1), sem].
+    then scratch [zc (VMEM t0 x t1)].
     """
     n_levels = len(levels_meta)
     trig_ref = refs[0]
-    lvl0_ref = refs[1]
-    wcot_refs = refs[2:2 + n_levels]
-    zcot_ref = refs[2 + n_levels]
-    win0_ref = refs[3 + n_levels]
-    zc_ref = refs[4 + n_levels]
-    sem = refs[5 + n_levels]
+    wcot_refs = refs[1:1 + n_levels]
+    zcot_ref = refs[1 + n_levels]
+    zc_ref = refs[2 + n_levels]
 
     t0, t1 = tile
     ti = pl.program_id(0)
@@ -1559,19 +1572,9 @@ def _bwd_kernel(tmap_ref, soff_ref, z_org_ref, g_ref, id_ref, *refs,
 
     @pl.when(ak == 0)
     def _():
-        wsz0, wsz1 = levels_meta[0][2], levels_meta[0][3]
-        src_i = (a_base // 1) + 2 - soff_ref[4]
-        src_j = (b_base // 1) + 2
-        src_i_al = pl.multiple_of((src_i // 8) * 8, 8)
-        src_j_al = pl.multiple_of((src_j // 128) * 128, 128)
-        cp = pltpu.make_async_copy(
-            lvl0_ref.at[pl.ds(src_i_al, wsz0), pl.ds(src_j_al, wsz1)],
-            win0_ref, sem)
-        cp.start()
         for p in range(n_levels):
             wcot_refs[p][...] = jnp.zeros(wcot_refs[p].shape, jnp.float32)
         zcot_ref[...] = jnp.zeros(zcot_ref.shape, jnp.float32)
-        cp.wait()
 
     z_org = z_org_ref[...]
     d0_i, d0_j = deltas[0]
@@ -1595,24 +1598,18 @@ def _bwd_kernel(tmap_ref, soff_ref, z_org_ref, g_ref, id_ref, *refs,
         sh_j = ux / dx
         ids = id_ref[k_local, :, :]
         gv = g_ref[k_local, :, :]
+        aux = aux_ref[k_local, :, :]
         zc_ref[...] = jnp.zeros((t0, t1), jnp.float32)
 
-        def readw(s):
-            """Level-0 bilinear read + its geometry (value, starts,
-            fractions) — identical f32 math to the forward's read0."""
+        def geom(s):
+            """Level-0 read geometry at arc distance ``s`` (identical
+            f32 math to the forward's read0 floor shifts)."""
             dif = s * sh_i
             djf = s * sh_j
             di = jnp.floor(dif)
             dj = jnp.floor(djf)
-            fi = dif - di
-            fj = djf - dj
-            win = _shifted_window(
-                win0_ref, di.astype(jnp.int32) + wpad0 + d0_i,
-                dj.astype(jnp.int32) + wpad0 + d0_j, t0 + 1, t1 + 1)
-            top = (1.0 - fj) * win[:-1, :-1] + fj * win[:-1, 1:]
-            bot = (1.0 - fj) * win[1:, :-1] + fj * win[1:, 1:]
-            return ((1.0 - fi) * top + fi * bot,
-                    di.astype(jnp.int32), dj.astype(jnp.int32), fi, fj)
+            return (di.astype(jnp.int32), dj.astype(jnp.int32),
+                    dif - di, djf - dj)
 
         def scatter0(coef, di, dj, fi, fj):
             """Adjoint of a level-0 bilinear read: spread ``coef`` with the
@@ -1649,12 +1646,8 @@ def _bwd_kernel(tmap_ref, soff_ref, z_org_ref, g_ref, id_ref, *refs,
             s = (m + 1).astype(jnp.float32) * step
             pm = ids == 2 * m
             coef = jnp.where(pm, gv, 0.0) * (1.0 / s)
-            dif = s * sh_i
-            djf = s * sh_j
-            di = jnp.floor(dif)
-            dj = jnp.floor(djf)
-            scatter0(coef, di.astype(jnp.int32), dj.astype(jnp.int32),
-                     dif - di, djf - dj)
+            di, dj, fi, fj = geom(s)
+            scatter0(coef, di, dj, fi, fj)
             zc_ref[...] += -coef
 
         def quad_bwd(m, d2):
@@ -1663,7 +1656,8 @@ def _bwd_kernel(tmap_ref, soff_ref, z_org_ref, g_ref, id_ref, *refs,
             d2 (m < nx): samples at m, m+1/2, m+1 steps, s0 = m*step,
             q = 1/step.  d1: samples at m-1, m, m+1 steps,
             s0 = (m-1)*step, q = 1/(2*step).  Envelope partials at the
-            recomputed stationary point; all terms share 1/D."""
+            stationary point recorded by the forward (aux = D = s0 + t*):
+            closed-form in q*t* and 1/D, no height re-reads."""
             qm = ids == 2 * m + 1
             if d2:
                 q = inv_l0
@@ -1675,44 +1669,30 @@ def _bwd_kernel(tmap_ref, soff_ref, z_org_ref, g_ref, id_ref, *refs,
                 s0 = (m - 1).astype(jnp.float32) * step
                 sm = s0 + step
                 s2 = s0 + 2.0 * step
-            h1, di1, dj1, fi1, fj1 = readw(s0)
-            ha, dia, dja, fia, fja = readw(sm)
-            hb, dib, djb, fib, fjb = readw(s2)
-            a_c = (2.0 * hb + 2.0 * h1 - 4.0 * ha) * (q * q)
-            b_c = (4.0 * ha - 3.0 * h1 - hb) * q
-            c0 = h1 - z_org
-            u = (a_c * s0 - b_c) * s0 + c0
-            g2 = jnp.sqrt(jnp.maximum(a_c * u, 0.0))
-            g2 = jnp.where(a_c >= 0.0, g2, -g2)
-            d_den = jnp.where(jnp.abs(a_c) > 1e-30, a_c, 1e-30)
-            big_d = g2 / d_den                      # = s0 + t*
-            ok = qm & (big_d > 1e-3)
-            inv_d = jnp.where(ok, 1.0 / jnp.where(ok, big_d, 1.0), 0.0)
+            ok = qm & (aux > 1e-3)
+            inv_d = jnp.where(ok, 1.0 / jnp.where(ok, aux, 1.0), 0.0)
             gq = jnp.where(ok, gv, 0.0) * inv_d
-            tt = big_d - s0                         # t*
+            tt = aux - s0                           # t*
             qt = q * tt
             qt2 = qt * qt
-            scatter0(gq * (2.0 * qt2 - 3.0 * qt + 1.0), di1, dj1, fi1, fj1)
-            scatter0(gq * (4.0 * qt - 4.0 * qt2), dia, dja, fia, fja)
-            scatter0(gq * (2.0 * qt2 - qt), dib, djb, fib, fjb)
+            di, dj, fi, fj = geom(s0)
+            scatter0(gq * (2.0 * qt2 - 3.0 * qt + 1.0), di, dj, fi, fj)
+            di, dj, fi, fj = geom(sm)
+            scatter0(gq * (4.0 * qt - 4.0 * qt2), di, dj, fi, fj)
+            di, dj, fi, fj = geom(s2)
+            scatter0(gq * (2.0 * qt2 - qt), di, dj, fi, fj)
             zc_ref[...] += -gq
 
-        # ---- dense phases, chunked presence tests ----
-        for lo, hi, d2 in ([(c, min(c + _BWD_DCH, nx), True)
-                            for c in range(0, nx, _BWD_DCH)]
-                           + [(c, min(c + _BWD_DCH, n_dense), False)
-                              for c in range(nx, n_dense, _BWD_DCH)]):
+        # ---- d2 near field: per-id processing (midpoint samples sit off
+        # the step lattice, so their scatters cannot merge; only nx~16
+        # steps) ----
+        for lo, hi in [(c, min(c + _BWD_DCH, nx))
+                       for c in range(0, nx, _BWD_DCH)]:
             pres = jnp.any((ids >= 2 * lo) & (ids < 2 * hi))
 
             @pl.when(pres)
-            def _(lo=lo, hi=hi, d2=d2):
+            def _(lo=lo, hi=hi):
                 def body(m, carry):
-                    if "no_pres" in _BWD_ABLATE:
-                        point_bwd(m)
-                        if "no_quad" not in _BWD_ABLATE:
-                            quad_bwd(m, d2)
-                        return carry
-
                     @pl.when(jnp.any(ids == 2 * m))
                     def _():
                         point_bwd(m)
@@ -1720,7 +1700,67 @@ def _bwd_kernel(tmap_ref, soff_ref, z_org_ref, g_ref, id_ref, *refs,
                     if "no_quad" not in _BWD_ABLATE:
                         @pl.when(jnp.any(ids == 2 * m + 1))
                         def _():
-                            quad_bwd(m, d2)
+                            quad_bwd(m, True)
+                    return carry
+                lax.fori_loop(lo, hi, body, 0)
+
+        # ---- d1 mid field: merged per-POSITION scatters.  The sample at
+        # position q (distance (q+1)*step) receives the point winner 2q
+        # plus one partial from each of the d1 quads m in {q, q+1, q+2}
+        # (their samples are m-2, m-1, m) — all terms are elementwise in
+        # (ids, gv, aux), so each position costs ONE scatter instead of
+        # up to four. ----
+        def d1_terms(q):
+            s = (q + 1).astype(jnp.float32) * step
+            coef = jnp.where((ids == 2 * q) & (q >= nx), gv, 0.0) \
+                * (1.0 / s)
+            zc = -coef
+            if "no_quad" not in _BWD_ABLATE:
+                # off: which sample of quad m = q + (2 - off_idx)... per
+                # contributing quad m, partial index = q - (m - 2)
+                for off, kind in ((0, "chb"), (1, "cha"), (2, "ch1")):
+                    mm = q + off
+                    # mm < n_dense: beyond it, 2*mm+1 would collide with
+                    # MIP point ids (they start at 2*n_dense)
+                    qm = (ids == 2 * mm + 1) & (mm >= nx + 1) \
+                        & (mm < n_dense) & (aux > 1e-3)
+                    inv_d = jnp.where(qm, 1.0 / jnp.where(qm, aux, 1.0),
+                                      0.0)
+                    gq = jnp.where(qm, gv, 0.0) * inv_d
+                    s0 = (mm - 1).astype(jnp.float32) * step
+                    qt = inv_l1 * (aux - s0)
+                    qt2 = qt * qt
+                    if kind == "chb":
+                        coef += gq * (2.0 * qt2 - qt)
+                        zc += -gq          # one z_org term per quad
+                    elif kind == "cha":
+                        coef += gq * (4.0 * qt - 4.0 * qt2)
+                    else:
+                        coef += gq * (2.0 * qt2 - 3.0 * qt + 1.0)
+            return coef, zc
+
+        q_lo = max(nx - 2, 0)
+        for lo, hi in [(c, min(c + _BWD_DCH, n_dense))
+                       for c in range(q_lo, n_dense, _BWD_DCH)]:
+            # ids touching positions [lo, hi): points 2q and quads
+            # 2(q+off)+1 up to off=2
+            pres = jnp.any((ids >= 2 * lo) & (ids < 2 * (hi + 2) + 2)
+                           & (ids >= 2 * nx))
+
+            @pl.when(pres | jnp.bool_("no_pres" in _BWD_ABLATE))
+            def _(lo=lo, hi=hi):
+                def body(q, carry):
+                    rel = ids - 2 * q
+                    pres_q = jnp.any((rel >= 0) & (rel <= 5)
+                                     & (ids >= 2 * nx))
+
+                    @pl.when(pres_q | jnp.bool_("no_pres" in _BWD_ABLATE))
+                    def _():
+                        coef, zc = d1_terms(q)
+                        s = (q + 1).astype(jnp.float32) * step
+                        di, dj, fi, fj = geom(s)
+                        scatter0(coef, di, dj, fi, fj)
+                        zc_ref[...] += zc
                     return carry
                 lax.fori_loop(lo, hi, body, 0)
 
@@ -1808,7 +1848,7 @@ def _bwd_kernel(tmap_ref, soff_ref, z_org_ref, g_ref, id_ref, *refs,
     lax.fori_loop(0, a_chunk, azim_loop, 0)
 
 
-def backward_replay_fn(z_outer, graw, ids, shard_off, *,
+def backward_replay_fn(z_outer, graw, ids, aux, shard_off, *,
                        tile_map_static, levels_meta, phases_meta, pads,
                        tile, a_chunk, a_num, a_den, offset, inner_shape,
                        dx, dy, step, dist, near_ex, ray_org_elev,
@@ -1856,9 +1896,8 @@ def backward_replay_fn(z_outer, graw, ids, shard_off, *,
         (a_chunk, t0, t1), lambda ti, ak, tm, so: (ak, tm[ti, 0],
                                                    tm[ti, 1]),
         memory_space=pltpu.VMEM)
-    in_specs = [tile_spec, ga_spec, ga_spec,
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pl.ANY)]
+    in_specs = [tile_spec, ga_spec, ga_spec, ga_spec,
+                pl.BlockSpec(memory_space=pltpu.SMEM)]
     out_specs = [pl.BlockSpec((1,) + (m[2], m[3]),
                               lambda ti, ak, tm, so: (ti, 0, 0),
                               memory_space=pltpu.VMEM)
@@ -1870,9 +1909,7 @@ def backward_replay_fn(z_outer, graw, ids, shard_off, *,
                  for m in levels_meta]
     out_shape += [jax.ShapeDtypeStruct((n_tiles, t0, t1), jnp.float32)]
     scratch_shapes = [
-        pltpu.VMEM((levels_meta[0][2], levels_meta[0][3]), jnp.float32),
         pltpu.VMEM((t0, t1), jnp.float32),
-        pltpu.SemaphoreType.DMA,
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -1881,13 +1918,12 @@ def backward_replay_fn(z_outer, graw, ids, shard_off, *,
         out_specs=out_specs,
         scratch_shapes=scratch_shapes)
     # scoped-VMEM budget modelled on the backward's actual residents:
-    # the per-level window-cotangent out blocks + the level-0 read window
-    # (double-buffered), the g/id/z_org in blocks, and roll-slab headroom
+    # the per-level window-cotangent out blocks, the g/id/aux/z_org in
+    # blocks, and roll-slab headroom
     wcot_bytes = sum(m[2] * m[3] for m in levels_meta) * 4
-    win0_bytes = levels_meta[0][2] * levels_meta[0][3] * 4
-    blk_bytes = 2 * (2 * a_chunk + 3) * t0 * t1 * 4
+    blk_bytes = 2 * (3 * a_chunk + 3) * t0 * t1 * 4
     slab_bytes = (t0 + 16) * (t1 + 256) * 4
-    vlim = min(int(2 * wcot_bytes + 2 * win0_bytes + blk_bytes
+    vlim = min(int(2 * wcot_bytes + blk_bytes
                    + 8 * slab_bytes + (8 << 20)), 100 << 20)
     outs = pl.pallas_call(
         kernel,
@@ -1895,7 +1931,7 @@ def backward_replay_fn(z_outer, graw, ids, shard_off, *,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vlim),
         interpret=interpret,
-    )(tile_map, shard_off, z_org, graw, ids, jnp.asarray(trig), padded[0])
+    )(tile_map, shard_off, z_org, graw, ids, aux, jnp.asarray(trig))
     wcots = outs[:len(levels_meta)]
     zcot_tiles = outs[len(levels_meta)]
 
@@ -1972,7 +2008,7 @@ def _bwd_tile(cfg):
     return bt0, bt1
 
 
-def _hz_bwd_replay(cfg, z_outer, tilt_ramp, raw, ids, g):
+def _hz_bwd_replay(cfg, z_outer, tilt_ramp, raw, ids, aux, g):
     """Chain the output cotangent through clip/arctan, split the tilt-ramp
     term, and run the winner-replay backward kernel."""
     graw = jnp.moveaxis(g, -1, 0)
@@ -2009,7 +2045,7 @@ def _hz_bwd_replay(cfg, z_outer, tilt_ramp, raw, ids, g):
     while cfg.azim_pad % a_chunk_b:
         a_chunk_b -= 1
     dz = _bwd_core(
-        z_outer, graw, ids, soff, tile_map_static=tmap_b,
+        z_outer, graw, ids, aux, soff, tile_map_static=tmap_b,
         levels_meta=tuple(lm_b), phases_meta=tuple(pm_b),
         pads=cfg.pads, tile=(bt0, bt1), a_chunk=a_chunk_b,
         a_num=cfg.azim_pad, a_den=cfg.azim_num, offset=cfg.offset,

@@ -270,3 +270,43 @@ def test_pallas_azim_padding_awkward_count():
     a_chunk, azim_pad = pallas_sweep.plan_azim(359, 128, 1024)
     assert azim_pad % a_chunk == 0 and azim_pad >= 359
     assert a_chunk == min(359, max(1, (1 << 20) // (128 * 1024 * 4)))
+
+
+def test_pallas_grad_far_field_winners():
+    """Gradient correctness when winners sit in the MIP far field and at
+    the dense/mip id boundary (regression: position-merged d1 backward
+    must not interpret mip point ids 2m+1 with m >= n_dense as quads)."""
+    import jax
+    import jax.numpy as jnp
+
+    dist = 6000.0
+    halo = int(dist / 25) + 16
+    inner = 32
+    n = inner + 2 * halo
+    z = np.zeros((n, n), dtype=np.float32)
+    z[halo - 96, halo + 16] = 500.0     # far-field spike -> mip winners
+    z[halo - 150, halo + 8] = 400.0
+    zj = jnp.asarray(z)
+    kw = dict(dx=25.0, dy=-25.0, offset=(halo, halo),
+              inner_shape=(inner, inner), dist_search=dist, hori_acc=0.25,
+              azim_num=4, a_chunk=4, tile=(32, 32), interpret=True)
+
+    def loss(zz):
+        return jnp.mean(pallas_sweep.horizon_sweep_pallas(zz, **kw) ** 2)
+
+    g = jax.grad(loss)(zj)
+    gn = np.asarray(g)
+    assert np.isfinite(gn).all()
+    # the far spike must carry gradient (its 2x2 max-pool block)
+    assert np.abs(gn[halo - 97:halo - 95, halo + 15:halo + 18]).max() > 0
+    # replay must equal the recompute VJP here (finite differences are
+    # below f32 loss noise at this gradient magnitude): the id-collision
+    # bug this guards against produced gradients 6 orders too large
+    import os
+    os.environ["HZT_GRAD_RECOMPUTE"] = "1"
+    try:
+        g_rc = np.asarray(jax.grad(loss)(zj))
+    finally:
+        del os.environ["HZT_GRAD_RECOMPUTE"]
+    np.testing.assert_allclose(gn, g_rc, atol=5e-9)
+    assert abs(np.linalg.norm(gn) / np.linalg.norm(g_rc) - 1.0) < 1e-3
