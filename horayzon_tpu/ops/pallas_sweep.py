@@ -1546,13 +1546,17 @@ def _bwd_kernel(tmap_ref, soff_ref, z_org_ref, g_ref, id_ref, aux_ref,
 
     refs layout: [trig (SMEM)] then outputs
     [wcot_0.. wcot_{L-1} (each (1, wsz0_p, wsz1_p)), zcot (1, t0, t1)]
-    then scratch [zc (VMEM t0 x t1)].
+    then scratch [zc (VMEM t0 x t1), strip (VMEM, when any level uses the
+    strip-chunk adjoint)].
     """
     n_levels = len(levels_meta)
     trig_ref = refs[0]
     wcot_refs = refs[1:1 + n_levels]
     zcot_ref = refs[1 + n_levels]
     zc_ref = refs[2 + n_levels]
+    strip_ref = (refs[3 + n_levels]
+                 if _strip_scratch_shape(levels_meta, tile) is not None
+                 else None)
 
     t0, t1 = tile
     ti = pl.program_id(0)
@@ -1765,50 +1769,147 @@ def _bwd_kernel(tmap_ref, soff_ref, z_org_ref, g_ref, id_ref, aux_ref,
                 lax.fori_loop(lo, hi, body, 0)
 
         # ---- mip phases: nearest-neighbour point winners ----
+        # Strip-chunk ADJOINT (mirrors the forward's strip path): per-step
+        # contributions scatter at FINE resolution into a strip-cotangent
+        # scratch; one transposed one-hot matmul pair per chunk then
+        # downsamples into the coarse window cotangent — the per-step
+        # transpose matmuls (the bulk of the mip backward) amortise over
+        # up to _STRIP_GK/k steps.  Levels too coarse for the strip
+        # scratch use the per-step transpose path.
         for p in range(1, 1 if "no_mip" in _BWD_ABLATE
                        else len(phases_meta)):
             lvl, n_m, s_first, step_l = phases_meta[p]
             kpow = 2 ** lvl
             wpad = levels_meta[p][1]
+            bias = kpow * 16384
+            off_p = mip_id_off[p]
+            pres_p = jnp.any((ids >= off_p) & (ids < off_p + n_m))
+
+            def stw(s, p=p, kpow=kpow, wpad=wpad, bias=bias):
+                ri = jnp.round(s * sh_i).astype(jnp.int32)
+                rj = jnp.round(s * sh_j).astype(jnp.int32)
+                c0i = a_base + ri
+                c1j = b_base + rj
+                st_i = lax.div(c0i + bias, kpow) - (bias // kpow) \
+                    - lax.div(a_base, kpow) + wpad + deltas[p][0]
+                st_j = lax.div(c1j + bias, kpow) - (bias // kpow) \
+                    - lax.div(b_base, kpow) + wpad + deltas[p][1]
+                return (st_i, st_j, lax.rem(c0i + bias, kpow),
+                        lax.rem(c1j + bias, kpow))
+
+            def s_of(m, s_first=s_first, step_l=step_l):
+                return jnp.minimum(
+                    s_first + m.astype(jnp.float32) * step_l, dist)
+
+            if strip_ref is not None and kpow <= _STRIP_KMAX:
+                g_n = max(1, _STRIP_GK // kpow)
+                n_ch = (n_m + g_n - 1) // g_n
+                u0 = t0 + (g_n + 1) * kpow
+                u1 = t1 + (g_n + 1) * kpow + 1
+                u0r = _round_up(u0, 8)
+                u1r = _round_up(u1, 128)
+                sg0 = _round_up(u0 // kpow + 2 + 7, 8)
+                sg1 = _round_up(u1 // kpow + 2 + 127, 128)
+                # transposed column-upsample: S^T[y, c] = (y // k == c)
+                ys = jax.lax.broadcasted_iota(jnp.int32, (u1r, sg1), 0)
+                cs = jax.lax.broadcasted_iota(jnp.int32, (u1r, sg1), 1)
+                s_opg_t = (ys // kpow == cs).astype(jnp.float32)
+
+                @pl.when(pres_p)
+                def _(p=p, kpow=kpow, off_p=off_p, n_m=n_m, g_n=g_n,
+                      n_ch=n_ch, u0r=u0r, u1r=u1r, sg0=sg0, sg1=sg1,
+                      s_opg_t=s_opg_t, stw=stw, s_of=s_of):
+                    def chunk(c, carry):
+                        m_lo = c * g_n
+                        m_hi = jnp.minimum(m_lo + g_n - 1, n_m - 1)
+                        act = jnp.any((ids >= off_p + m_lo)
+                                      & (ids <= off_p + m_hi))
+
+                        @pl.when(act)
+                        def _():
+                            qa_i, qa_j, _, _ = stw(s_of(m_lo))
+                            qb_i, qb_j, _, _ = stw(s_of(m_hi))
+                            q0_i = jnp.minimum(qa_i, qb_i)
+                            q0_j = jnp.minimum(qa_j, qb_j)
+                            ia = pl.multiple_of((q0_i // 8) * 8, 8)
+                            ja = pl.multiple_of((q0_j // 128) * 128, 128)
+                            strip_ref[...] = jnp.zeros(
+                                strip_ref.shape, jnp.float32)
+
+                            def sbody(m, carry2):
+                                @pl.when(jnp.any(ids == off_p + m))
+                                def _():
+                                    s = s_of(m)
+                                    pm = ids == off_p + m
+                                    coef = jnp.where(pm, gv, 0.0) \
+                                        * (1.0 / s)
+                                    zc_ref[...] += -coef
+                                    si, sj, ai, aj = stw(s)
+                                    di = ai + (si - q0_i) * kpow
+                                    dj = aj + (sj - q0_j) * kpow
+                                    # scatter into the strip at fine res
+                                    ia2 = pl.multiple_of(
+                                        (di // 8) * 8, 8)
+                                    ja2 = pl.multiple_of(
+                                        (dj // 128) * 128, 128)
+                                    r = _round_up(t0 + 7, 8)
+                                    cc = _round_up(t1 + 127, 128)
+                                    slab = jnp.pad(
+                                        coef, ((0, r - t0), (0, cc - t1)))
+                                    slab = pltpu.roll(slab, di - ia2, 0)
+                                    slab = pltpu.roll(slab, dj - ja2, 1)
+                                    cur = strip_ref[pl.ds(ia2, r),
+                                                    pl.ds(ja2, cc)]
+                                    strip_ref[pl.ds(ia2, r),
+                                              pl.ds(ja2, cc)] = cur + slab
+                                return carry2
+                            lax.fori_loop(m_lo, m_hi + 1, sbody, 0)
+
+                            # chunk downsample: adjoint of
+                            # strip = (R @ rollL(slab)) @ S
+                            rows_cot = jnp.dot(
+                                strip_ref[:u0r, :u1r], s_opg_t,
+                                preferred_element_type=jnp.float32)
+                            yy = jax.lax.broadcasted_iota(
+                                jnp.int32, (sg0, u0r), 1)
+                            cc2 = jax.lax.broadcasted_iota(
+                                jnp.int32, (sg0, u0r), 0)
+                            r_opg_t = (lax.div(yy, kpow) + (q0_i - ia)
+                                       == cc2).astype(jnp.float32)
+                            slab_cot = jnp.dot(
+                                r_opg_t, rows_cot,
+                                preferred_element_type=jnp.float32)
+                            slab_cot = pltpu.roll(slab_cot, q0_j - ja, 1)
+                            cur = wcot_refs[p][0, pl.ds(ia, sg0),
+                                               pl.ds(ja, sg1)]
+                            wcot_refs[p][0, pl.ds(ia, sg0),
+                                         pl.ds(ja, sg1)] = cur + slab_cot
+                        return carry
+                    lax.fori_loop(0, n_ch, chunk, 0)
+                continue
+
             sz0 = _round_up(t0 // kpow + 2 + 8, 8)
             sz1 = _round_up(t1 // kpow + 128 // kpow + 2 + 8, 128)
             t1_pad = _round_up(t1 + kpow + 1, 128)
             r8 = _round_up(sz0 + 7, 8)
             c128 = _round_up(sz1 + 127, 128)
-            bias = kpow * 16384
             # transposed one-hot column-upsample: S^T[y, c] = (y//k == c)
             y_idx = jax.lax.broadcasted_iota(jnp.int32, (t1_pad, sz1), 0)
             c_idx = jax.lax.broadcasted_iota(jnp.int32, (t1_pad, sz1), 1)
             s_op_t = (y_idx // kpow == c_idx).astype(jnp.float32)
-            off_p = mip_id_off[p]
-            pres_p = jnp.any((ids >= off_p) & (ids < off_p + n_m))
 
             @pl.when(pres_p)
-            def _(p=p, kpow=kpow, wpad=wpad, sz0=sz0, sz1=sz1,
-                  t1_pad=t1_pad, r8=r8, c128=c128, bias=bias,
-                  s_op_t=s_op_t, off_p=off_p, n_m=n_m, s_first=s_first,
-                  step_l=step_l):
+            def _(p=p, kpow=kpow, sz1=sz1, t1_pad=t1_pad, r8=r8,
+                  c128=c128, s_op_t=s_op_t, off_p=off_p, n_m=n_m,
+                  stw=stw, s_of=s_of):
                 def body(mm, carry):
                     @pl.when(jnp.any(ids == off_p + mm))
                     def _():
-                        s = jnp.minimum(
-                            s_first + mm.astype(jnp.float32) * step_l,
-                            dist)
+                        s = s_of(mm)
                         pm = ids == off_p + mm
                         coef = jnp.where(pm, gv, 0.0) * (1.0 / s)
                         zc_ref[...] += -coef
-                        ri = jnp.round(s * sh_i).astype(jnp.int32)
-                        rj = jnp.round(s * sh_j).astype(jnp.int32)
-                        c0i = a_base + ri
-                        c1j = b_base + rj
-                        st_i = lax.div(c0i + bias, kpow) - (bias // kpow) \
-                            - lax.div(a_base, kpow) + wpad
-                        st_j = lax.div(c1j + bias, kpow) - (bias // kpow) \
-                            - lax.div(b_base, kpow) + wpad
-                        al_i = lax.rem(c0i + bias, kpow)
-                        al_j = lax.rem(c1j + bias, kpow)
-                        start_i = st_i + deltas[p][0]
-                        start_j = st_j + deltas[p][1]
+                        start_i, start_j, al_i, al_j = stw(s)
                         ia = pl.multiple_of((start_i // 8) * 8, 8)
                         ja = pl.multiple_of((start_j // 128) * 128, 128)
                         # adjoint of: lane-shift-left by al_j of the
@@ -1911,6 +2012,10 @@ def backward_replay_fn(z_outer, graw, ids, aux, shard_off, *,
     scratch_shapes = [
         pltpu.VMEM((t0, t1), jnp.float32),
     ]
+    strip_shape = _strip_scratch_shape(levels_meta, (t0, t1))
+    if strip_shape is not None:
+        scratch_shapes = scratch_shapes + [
+            pltpu.VMEM(strip_shape, jnp.float32)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=grid,
