@@ -62,7 +62,11 @@ def main():
                                               engine="numpy")
         elevation = np.nan_to_num(elevation, nan=0.0)
     else:
-        x, y, elevation = synthetic_dhm25_like()
+        # size the synthetic grid so the inner domain stays ~800^2 after
+        # the search-distance pad (a 20 km search at 25 m costs 800 cells
+        # per side)
+        n = 2 * int(args.dist_search * 1000.0 / 25.0) + 800
+        x, y, elevation = synthetic_dhm25_like(n=n)
         pad = args.dist_search * 1000.0
         domain = {"x_min": float(x.min()) + pad,
                   "x_max": float(x.max()) - pad,

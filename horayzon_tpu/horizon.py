@@ -277,6 +277,11 @@ def horizon_gridded(
             or (offset_1 + vec_norm.shape[1] > dem_dim_1)):
         raise ValueError("inconsistency between input arguments dem_dim_0, "
                          "dem_dim_1, offset_0, offset_1 and vec_norm")
+    if vec_norm.size == 0:
+        raise ValueError(
+            "inner domain is empty (vec_norm has zero size) — the outer "
+            "DEM is not larger than twice the search distance; widen the "
+            "domain or reduce dist_search")
     if ((vec_norm.ndim != 3) or (vec_north.ndim != 3)
             or (vec_norm.shape != vec_north.shape)):
         raise ValueError("dimension (lengths) of vec_norm and/or vec_north "
