@@ -226,3 +226,29 @@ def test_masked_all_zero_returns_fill():
         vg, 32, 32, vn, vnor, 12, 12, dist_search=0.3, azim_num=4,
         mask=mask, hori_fill=0.5, verbose=False, engine="sweep")
     assert np.allclose(hori, 0.5)
+
+
+def test_tile_cost_autotune_cache(tmp_path, monkeypatch):
+    """The device-keyed tune cache written by tools/ablate_kernel.py
+    --tile-sweep overrides the built-in tables (VERDICT r3 item 6)."""
+    import json
+
+    from horayzon_tpu import horizon as hz
+
+    cache = {hz._device_kind(): {
+        "lane_cost": {"256": 1.0, "512": 0.5, "1024": 0.25},
+        "tile_cost": {"128x1024": 1.0, "64x512": 9.9},
+    }}
+    d = tmp_path / "aux"
+    d.mkdir()
+    (d / "tile_costs.json").write_text(json.dumps(cache))
+    monkeypatch.setenv("HORAYZON_TPU_AUX_DATA", str(d))
+    monkeypatch.setattr(hz, "_TUNE_CACHE", None)
+    try:
+        assert hz._lane_tile_cost() == {256: 1.0, 512: 0.5, 1024: 0.25}
+        assert hz._tile_cost_table() == {(128, 1024): 1.0, (64, 512): 9.9}
+    finally:
+        monkeypatch.setattr(hz, "_TUNE_CACHE", None)
+    # without a cache: built-ins (keyed or fallback) with required entries
+    assert 256 in hz._lane_tile_cost()
+    assert (128, 1024) in hz._tile_cost_table()
