@@ -92,37 +92,64 @@ def srtm(file_dem, domain, engine="pillow"):
     return lon, lat, elevation
 
 
+#: NASADEM tile core size: each 1-degree tile carries 3600 cells per axis
+#: plus one margin sample duplicated with the neighbouring tile.
+_NASADEM_TILE_CELLS = 3600
+
+
+def _crop_centres(elevation, x, y, x_min, x_max, y_min, y_max):
+    """Crop a raster to the domain using cell-CENTRE comparisons (for
+    mosaics that carry centre coordinates only, e.g. the NASADEM NetCDF
+    tiles).  Keeps the centres inside the closed domain interval; the
+    domain must lie strictly inside the mosaic's centre extent.  Both axes
+    may be ascending or descending."""
+    if not (x.min() < x_min and x_max < x.max()
+            and y.min() < y_min and y_max < y.max()):
+        raise ValueError("Provided tile(s) does/do not cover domain")
+    ix = np.flatnonzero((x >= x_min) & (x <= x_max))
+    iy = np.flatnonzero((y >= y_min) & (y <= y_max))
+    sl_x = slice(ix[0], ix[-1] + 1)
+    sl_y = slice(iy[0], iy[-1] + 1)
+    return elevation[sl_y, sl_x], x[sl_x], y[sl_y]
+
+
+def preprocess(ds):
+    """Trim the margin sample a NASADEM tile shares with its neighbour.
+
+    Tiles are ``_NASADEM_TILE_CELLS`` cells per axis plus one duplicated
+    edge sample (cf. reference load_dem.py:144-147); dropping the trailing
+    sample of any axis that has it leaves the multi-file mosaic with
+    unique coordinates.  Passed as the ``preprocess=`` hook to xarray's
+    ``open_mfdataset`` (public for callers composing their own open)."""
+    trim = {}
+    for axis in ("lon", "lat"):
+        n = int(ds.sizes.get(axis, 0))
+        if n % _NASADEM_TILE_CELLS == 1:
+            trim[axis] = slice(0, n - 1)
+    return ds.isel(**trim) if trim else ds
+
+
 def nasadem(files_dem, domain):
     """Load NASADEM data from (multiple) NetCDF file(s)
     (reference load_dem.py:95-149).
 
-    Requires the optional dependency ``xarray`` (or ``netCDF4``)."""
+    Tiles are margin-trimmed (:func:`preprocess`), merged into one mosaic
+    and centre-cropped to the domain (:func:`_crop_centres`).  Requires
+    the optional dependency ``xarray`` (with a NetCDF backend)."""
     try:
         xr = import_module("xarray")
     except ImportError as exc:
         raise ImportError(
             "NASADEM loading requires the optional dependency 'xarray' "
             "(with a NetCDF backend)") from exc
-    ds = xr.open_mfdataset(files_dem, preprocess=preprocess)
-    if sum([domain["lon_min"] > ds["lon"].values.min(),
-            domain["lon_max"] < ds["lon"].values.max(),
-            domain["lat_min"] > ds["lat"].values.min(),
-            domain["lat_max"] < ds["lat"].values.max()]) != 4:
-        raise ValueError("Provided tile(s) does/do not cover domain")
-    ds = ds.sel(lon=slice(domain["lon_min"], domain["lon_max"]),
-                lat=slice(domain["lat_max"], domain["lat_min"]))
-    elevation = ds["NASADEM_HGT"].values
-    lon = ds["lon"].values
-    lat = ds["lat"].values
-    ds.close()
+    with xr.open_mfdataset(files_dem, preprocess=preprocess) as ds:
+        elevation, lon, lat = _crop_centres(
+            ds["NASADEM_HGT"].values,
+            ds["lon"].values, ds["lat"].values,
+            domain["lon_min"], domain["lon_max"],
+            domain["lat_min"], domain["lat_max"])
     print_dem_info(elevation)
     return lon, lat, elevation
-
-
-def preprocess(ds):
-    """Remove duplicated margin row/column of NASADEM tiles
-    (reference load_dem.py:144-147)."""
-    return ds.isel(lon=slice(0, 3600), lat=slice(0, 3600))
 
 
 def read_esri_ascii_header(file_dem):

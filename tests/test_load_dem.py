@@ -66,3 +66,46 @@ def test_print_dem_info_runs(capsys):
     load_dem.print_dem_info(np.array([[1.0, np.nan], [3.0, 4.0]]))
     out = capsys.readouterr().out
     assert "NaN" in out
+
+
+def test_crop_centres_cover_and_slices():
+    """NASADEM-style centre crop: keeps centres inside the closed domain
+    interval; raises when the domain is not strictly inside the mosaic."""
+    import pytest
+
+    lon = np.linspace(6.0, 8.0, 41)           # ascending
+    lat = np.linspace(47.0, 45.0, 41)         # descending (north-up)
+    elev = np.arange(41 * 41, dtype=np.float32).reshape(41, 41)
+    dom = dict(x_min=6.5, x_max=7.5, y_min=45.5, y_max=46.5)
+    e, x, y = load_dem._crop_centres(elev, lon, lat, **dom)
+    assert x.min() >= 6.5 and x.max() <= 7.5
+    assert y.min() >= 45.5 and y.max() <= 46.5
+    assert e.shape == (len(y), len(x))
+    i0 = np.flatnonzero(lat <= 46.5)[0]
+    j0 = np.flatnonzero(lon >= 6.5)[0]
+    np.testing.assert_array_equal(e, elev[i0:i0 + len(y), j0:j0 + len(x)])
+    with pytest.raises(ValueError, match="cover"):
+        load_dem._crop_centres(elev, lon, lat, 5.0, 7.0, 45.5, 46.5)
+
+
+def test_nasadem_preprocess_trims_shared_margin():
+    """The margin-trim hook drops exactly the duplicated edge sample and
+    leaves already-trimmed tiles alone (duck-typed xarray stand-in)."""
+
+    class FakeDs:
+        def __init__(self, sizes):
+            self.sizes = dict(sizes)
+            self.trimmed = None
+
+        def isel(self, **kw):
+            self.trimmed = kw
+            return self
+
+    ds = FakeDs({"lon": 3601, "lat": 3601})
+    out = load_dem.preprocess(ds)
+    assert out.trimmed == {"lon": slice(0, 3600), "lat": slice(0, 3600)}
+    ds2 = FakeDs({"lon": 3600, "lat": 3601})
+    out2 = load_dem.preprocess(ds2)
+    assert out2.trimmed == {"lat": slice(0, 3600)}
+    ds3 = FakeDs({"lon": 3600, "lat": 3600})
+    assert load_dem.preprocess(ds3).trimmed is None
