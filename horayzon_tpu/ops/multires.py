@@ -21,8 +21,11 @@ bounded by ``coarse cell size / distance``, which the schedule keeps at
 ``<= rel_err`` by construction.
 """
 
+import collections
+import functools
 import math
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -66,7 +69,10 @@ def combined_pyramid(z_fine, z_coarse, ratio_log2, coarse_offset, schedule,
     pads = schedule.pads
     num_levels = len(pads)
     hf, wf = z_fine.shape
-    z_coarse = np.asarray(z_coarse, dtype=np.float32)
+    # jnp throughout: the assembly must stay traced so the replay VJP can
+    # route far-field cotangents back to z_coarse (all slice bounds are
+    # static Python ints)
+    z_coarse = jnp.asarray(z_coarse, dtype=jnp.float32)
     hc, wc = z_coarse.shape
     lo_e, hi_r, hi_c = (0, 0, 0) if pad_extra is None else pad_extra
 
@@ -109,12 +115,12 @@ def combined_pyramid(z_fine, z_coarse, ratio_log2, coarse_offset, schedule,
     ci, cj = oi // r, oj // r
     lo_i, n_i, qi0, qi1 = build_axis(hf, ci, hc)
     lo_j, n_j, qj0, qj1 = build_axis(wf, cj, wc)
-    base = np.full((n_i, n_j), _mip.PAD_VALUE, dtype=np.float32)
+    base = jnp.full((n_i, n_j), _mip.PAD_VALUE, dtype=jnp.float32)
     if qi1 > qi0 and qj1 > qj0:
-        base[qi0 - lo_i:qi1 - lo_i, qj0 - lo_j:qj1 - lo_j] = \
-            z_coarse[qi0 + ci:qi1 + ci, qj0 + cj:qj1 + cj]
+        base = base.at[qi0 - lo_i:qi1 - lo_i, qj0 - lo_j:qj1 - lo_j].set(
+            z_coarse[qi0 + ci:qi1 + ci, qj0 + cj:qj1 + cj])
 
-    coarse_levels = _mip.build_pyramid(jnp.asarray(base), nl)
+    coarse_levels = _mip.build_pyramid(base, nl)
     for lvl in range(ratio_log2, num_levels):
         a = coarse_levels[lvl - ratio_log2]
         k = lvl - ratio_log2
@@ -284,6 +290,111 @@ def _validate_fine_halo(schedule, ratio_log2, step, offset, inner_shape,
     return halo
 
 
+#: Hashable static config of one multires Pallas horizon invocation (the
+#: custom-VJP nondiff argument; see :func:`_mr_hz`).
+_MrCfg = collections.namedtuple("_MrCfg", [
+    "levels_meta", "phases_meta", "pads", "tile", "a_chunk", "azim_num",
+    "offset", "inner_shape", "dx", "dy", "step", "dist", "near_ex",
+    "n_safe", "ray_org_elev", "elev_lims", "rel_err", "max_level",
+    "ratio_log2", "coarse_offset", "tile_map", "interpret"])
+
+
+def _mr_schedule(cfg):
+    return _sweep.build_schedule(cfg.step, cfg.dist, cfg.rel_err,
+                                 max_level=cfg.max_level)
+
+
+def _mr_pyramid(cfg, z_fine, z_coarse):
+    from horayzon_tpu.ops import pallas_sweep as _pallas
+    return combined_pyramid(z_fine, z_coarse, cfg.ratio_log2,
+                            cfg.coarse_offset, _mr_schedule(cfg),
+                            pad_extra=_pallas.LEVEL_PAD_EXTRA)
+
+
+def _mr_fwd_value(cfg, z_fine, z_coarse, emit_argmax=False):
+    from horayzon_tpu.ops import pallas_sweep as _pallas
+    pyramid = _mr_pyramid(cfg, z_fine, z_coarse)
+    tmap = jnp.asarray(np.asarray(cfg.tile_map, np.int32).reshape(-1, 2))
+    out = _pallas._pallas_core(
+        z_fine, None, tmap, jnp.zeros((4,), jnp.int32),
+        levels_meta=cfg.levels_meta, phases_meta=cfg.phases_meta,
+        pads=cfg.pads, tile=cfg.tile, a_chunk=cfg.a_chunk,
+        a_num=cfg.azim_num, n_az_out=cfg.azim_num,
+        offset=cfg.offset, inner_shape=cfg.inner_shape,
+        dx=cfg.dx, dy=cfg.dy, step=cfg.step, dist=cfg.dist,
+        near_ex=cfg.near_ex, n_safe=cfg.n_safe,
+        ray_org_elev=cfg.ray_org_elev, elev_lims=cfg.elev_lims,
+        interpret=cfg.interpret, pyramid=tuple(pyramid),
+        emit_argmax=emit_argmax)
+    if emit_argmax:
+        return out
+    return jnp.moveaxis(out, 0, -1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _mr_hz(cfg, z_fine, z_coarse):
+    """Differentiable multires fused-kernel horizon: Pallas forward over
+    the combined fine+coarse pyramid, winner-replay Pallas backward.  The
+    replay kernel re-reads no heights; its per-level window cotangents
+    route through the VJP of :func:`combined_pyramid` (max-pools + the
+    coarse base embedding), so gradients reach BOTH the fine grid and the
+    coarse far field — the capability the reference's one-way TIN
+    simplification cannot express (gridded_planar_DEM_2m.py:130-265)."""
+    return _mr_fwd_value(cfg, z_fine, z_coarse)
+
+
+def _mr_fwd(cfg, z_fine, z_coarse):
+    raw, ids, aux = _mr_fwd_value(cfg, z_fine, z_coarse, emit_argmax=True)
+    out = jnp.clip(jnp.arctan(jnp.moveaxis(raw, 0, -1)),
+                   math.radians(cfg.elev_lims[0]),
+                   math.radians(cfg.elev_lims[1]))
+    return out, (z_fine, z_coarse, raw, ids, aux)
+
+
+def _mr_bwd(cfg, residuals, g):
+    from horayzon_tpu.ops import pallas_sweep as _pallas
+    z_fine, z_coarse, raw, ids, aux = residuals
+    graw = jnp.moveaxis(g, -1, 0)
+    th = jnp.arctan(raw)
+    lo = math.radians(cfg.elev_lims[0])
+    hi = math.radians(cfg.elev_lims[1])
+    graw = jnp.where((th >= lo) & (th <= hi), graw, 0.0) \
+        / (1.0 + raw * raw)
+
+    in0, in1 = cfg.inner_shape
+    bt0, bt1 = _pallas._bwd_tile_for(cfg.inner_shape, cfg.tile)
+    lm_b, pm_b = _pallas._build_metas(_mr_schedule(cfg), bt0, bt1,
+                                      cfg.step)
+    tmap_b = tuple(map(tuple, _pallas.tile_schedule(
+        (in0, in1), (bt0, bt1)).tolist()))
+    budget = max(1, (1 << 20) // (bt0 * bt1 * 4))
+    a_chunk_b = min(budget, cfg.azim_num)
+    while cfg.azim_num % a_chunk_b:
+        a_chunk_b -= 1
+
+    def pyr_fn(zf, zc):
+        return tuple(_mr_pyramid(cfg, zf, zc))
+
+    pyramid, vjp_pyr = jax.vjp(pyr_fn, z_fine, z_coarse)
+    level_cots, zcot = _pallas.backward_replay_fn(
+        z_fine, graw, ids, aux, jnp.zeros((4,), jnp.int32),
+        tile_map_static=tmap_b, levels_meta=tuple(lm_b),
+        phases_meta=tuple(pm_b), pads=cfg.pads, tile=(bt0, bt1),
+        a_chunk=a_chunk_b, a_num=cfg.azim_num, a_den=cfg.azim_num,
+        offset=cfg.offset, inner_shape=cfg.inner_shape,
+        dx=cfg.dx, dy=cfg.dy, step=cfg.step, dist=cfg.dist,
+        near_ex=cfg.near_ex, ray_org_elev=cfg.ray_org_elev,
+        interpret=cfg.interpret,
+        level_shapes=tuple(tuple(a.shape) for a in pyramid))
+    dzf, dzc = vjp_pyr(tuple(level_cots))
+    off0, off1 = cfg.offset
+    dzf = dzf.at[off0:off0 + in0, off1:off1 + in1].add(zcot)
+    return dzf, dzc
+
+
+_mr_hz.defvjp(_mr_fwd, _mr_bwd)
+
+
 def horizon_sweep_multires_pallas(z_fine, z_coarse, *, ratio_log2,
                                   coarse_offset, dx, dy, offset,
                                   inner_shape, azim_num, dist_search,
@@ -301,7 +412,9 @@ def horizon_sweep_multires_pallas(z_fine, z_coarse, *, ratio_log2,
     reference's 2 m Alps scale it would not fit HBM;
     examples/horizon/gridded_planar_DEM_2m.py:130-265).
 
-    Forward-only (planar).  Returns (in0, in1, azim_num) float32 [radian].
+    Differentiable w.r.t. ``z_fine`` AND ``z_coarse`` (winner-replay
+    custom VJP, :func:`_mr_hz`).  Planar.  Returns (in0, in1, azim_num)
+    float32 [radian].
     """
     from horayzon_tpu.ops import pallas_sweep as _pallas
 
@@ -317,26 +430,25 @@ def horizon_sweep_multires_pallas(z_fine, z_coarse, *, ratio_log2,
     _validate_fine_halo(schedule, ratio_log2, plan["step"], offset,
                         plan["inner_shape"], z_fine.shape)
 
-    pyramid = combined_pyramid(z_fine, z_coarse, ratio_log2, coarse_offset,
-                               schedule,
-                               pad_extra=_pallas.LEVEL_PAD_EXTRA)
     tmap = _pallas.tile_schedule(plan["inner_shape"], plan["tile"], mask)
     in0, in1 = plan["inner_shape"]
     lo = math.radians(float(elev_ang_low_lim))
     if tmap.shape[0] == 0:
         return jnp.full((in0, in1, azim_num), jnp.float32(lo))
-    out = _pallas._pallas_core(
-        z_fine, None, jnp.asarray(tmap), jnp.zeros((4,), jnp.int32),
+    cfg = _MrCfg(
         levels_meta=plan["levels_meta"], phases_meta=plan["phases_meta"],
         pads=plan["pads"], tile=plan["tile"], a_chunk=plan["a_chunk"],
-        a_num=int(azim_num), n_az_out=int(azim_num),
-        offset=plan["offset"], inner_shape=plan["inner_shape"],
-        dx=plan["dx"], dy=plan["dy"], step=plan["step"], dist=plan["dist"],
-        near_ex=plan["near_ex"], n_safe=plan["n_safe"],
-        ray_org_elev=float(ray_org_elev),
+        azim_num=int(azim_num), offset=plan["offset"],
+        inner_shape=plan["inner_shape"], dx=plan["dx"], dy=plan["dy"],
+        step=plan["step"], dist=plan["dist"], near_ex=plan["near_ex"],
+        n_safe=plan["n_safe"], ray_org_elev=float(ray_org_elev),
         elev_lims=(float(elev_ang_low_lim), float(elev_ang_up_lim)),
-        interpret=interpret, pyramid=tuple(pyramid))
-    return jnp.moveaxis(out, 0, -1)
+        rel_err=plan["rel_err"], max_level=plan["max_level"],
+        ratio_log2=int(ratio_log2),
+        coarse_offset=(int(coarse_offset[0]), int(coarse_offset[1])),
+        tile_map=tuple(map(tuple, tmap.tolist())),
+        interpret=bool(interpret))
+    return _mr_hz(cfg, z_fine, jnp.asarray(z_coarse, dtype=jnp.float32))
 
 
 def horizon_sweep_multires(z_fine, z_coarse, *, ratio_log2, coarse_offset,

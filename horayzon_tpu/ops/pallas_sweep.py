@@ -1953,26 +1953,49 @@ def backward_replay_fn(z_outer, graw, ids, aux, shard_off, *,
                        tile_map_static, levels_meta, phases_meta, pads,
                        tile, a_chunk, a_num, a_den, offset, inner_shape,
                        dx, dy, step, dist, near_ex, ray_org_elev,
-                       interpret):
+                       interpret, pyramid=None, level_shapes=None,
+                       inner_start=None, traced_assembly=False):
     """Unjitted winner-replay backward: Pallas kernel + host assembly.
 
     Returns the ``z_outer`` cotangent.  ``graw``/``ids``:
     (a_num, in0, in1) ratio cotangents and winner ids from the
-    argmax-emitting forward."""
+    argmax-emitting forward.  ``a_num`` is the number of azimuth rows
+    processed here (the local count under sharding); ``a_den`` the global
+    azimuth count that sets the angle formula.
+
+    ``traced_assembly``: honour ``shard_off`` (row/col shard starts and
+    per-level slice origins) in the host-side window overlap-add — the
+    sharded path, where those offsets are traced ``axis_index`` values.
+    The default keeps the single-device assembly fully static.
+
+    ``pyramid``/``level_shapes``: the multires composition — pre-built
+    padded level arrays, or just their static shapes (the backward kernel
+    re-reads no heights, so only shapes matter).  With either given, the
+    function does NOT route through the plain-pyramid VJP; it returns
+    ``(level_cots, zcot_inner)`` — the per-level window cotangents
+    assembled into full level-array shape and the inner-block ``z_org``
+    cotangent — for the caller to push through its own pyramid build.
+    ``inner_start`` as in :func:`pallas_forward_fn`."""
     t0, t1 = tile
     in0, in1 = inner_shape
     off0, off1 = offset
     tmap_np = np.asarray(tile_map_static, dtype=np.int32).reshape(-1, 2)
     tile_map = jnp.asarray(tmap_np)
-    padded = _padded_levels(z_outer, pads)
+    return_cots = pyramid is not None or level_shapes is not None
+    if pyramid is not None:
+        level_shapes = tuple(a.shape for a in pyramid)
+    elif level_shapes is None:
+        padded = _padded_levels(z_outer, pads)
+        level_shapes = tuple(a.shape for a in padded)
 
     n_soff = 4 + len(levels_meta)
     if shard_off.shape[0] < n_soff:
         shard_off = jnp.concatenate(
             [shard_off,
              jnp.zeros((n_soff - shard_off.shape[0],), jnp.int32)])
-    z_inner = lax.dynamic_slice(z_outer, (off0 + shard_off[0],
-                                          off1 + shard_off[1]), (in0, in1))
+    if inner_start is None:
+        inner_start = (off0 + shard_off[0], off1 + shard_off[1])
+    z_inner = lax.dynamic_slice(z_outer, inner_start, (in0, in1))
     z_org = z_inner + jnp.float32(ray_org_elev)
 
     n_tiles = tile_map.shape[0]
@@ -1985,7 +2008,11 @@ def backward_replay_fn(z_outer, graw, ids, aux, shard_off, *,
         off0=off0, off1=off1, dx=dx, dy=dy, step=step, dist=dist,
         near_exact=near_ex)
 
-    azim32 = ((2.0 * np.pi) / a_den * np.arange(a_num)).astype(np.float32)
+    # the SMEM table must cover every global azimuth index the kernel can
+    # form: k_glob = shard_off[2] + local row < a_den under sharding, and
+    # the padded rows [a_den, a_num) in the single-device azim-pad case
+    azim32 = ((2.0 * np.pi) / a_den
+              * np.arange(max(a_num, a_den))).astype(np.float32)
     trig = np.stack([np.sin(azim32.astype(np.float64)),
                      np.cos(azim32.astype(np.float64))],
                     axis=-1).astype(np.float32)
@@ -2042,14 +2069,21 @@ def backward_replay_fn(z_outer, graw, ids, aux, shard_off, *,
 
     # ---- host assembly: overlap-add per-tile window blocks into full
     # padded level arrays, then route through the pyramid-build VJP ----
+    # Under sharding (traced_assembly) the window positions carry the
+    # shard's traced row/col start and per-level slice origin, exactly as
+    # the kernel's DMA source starts did; single-device assembly stays
+    # fully static (shard_off is all-zero there).
+    s_row = shard_off[0] if traced_assembly else 0
+    s_col = shard_off[1] if traced_assembly else 0
     level_cots = []
     for p, m in enumerate(levels_meta):
         k = 2 ** m[0]
-        full = jnp.zeros(padded[p].shape, jnp.float32)
+        orig_p = shard_off[4 + p] if traced_assembly else 0
+        full = jnp.zeros(level_shapes[p], jnp.float32)
         for slot in range(tmap_np.shape[0]):
-            a_base = off0 + int(tmap_np[slot, 0]) * t0
-            b_base = off1 + int(tmap_np[slot, 1]) * t1
-            src_i_al = ((a_base // k + 2) // 8) * 8
+            a_base = off0 + s_row + int(tmap_np[slot, 0]) * t0
+            b_base = off1 + s_col + int(tmap_np[slot, 1]) * t1
+            src_i_al = ((a_base // k + 2 - orig_p) // 8) * 8
             src_j_al = ((b_base // k + 2) // 128) * 128
             full = lax.dynamic_update_slice(
                 full,
@@ -2059,13 +2093,7 @@ def backward_replay_fn(z_outer, graw, ids, aux, shard_off, *,
                 (src_i_al, src_j_al))
         level_cots.append(full)
 
-    def pyr_fn(z):
-        return tuple(_padded_levels(z, pads))
-
-    _, vjp_pyr = jax.vjp(pyr_fn, z_outer)
-    (dz,) = vjp_pyr(tuple(level_cots))
-
-    # z_org cotangent: z_org = z_outer[inner slice] + const
+    # z_org cotangent over the inner block: z_org = z[inner slice] + const
     zcot_full = jnp.zeros((in0, in1), jnp.float32)
     for slot in range(tmap_np.shape[0]):
         r0 = int(tmap_np[slot, 0]) * t0
@@ -2075,10 +2103,19 @@ def backward_replay_fn(z_outer, graw, ids, aux, shard_off, *,
             lax.dynamic_slice(zcot_full, (r0, c0), (t0, t1))
             + zcot_tiles[slot],
             (r0, c0))
+
+    if return_cots:
+        return tuple(level_cots), zcot_full
+
+    def pyr_fn(z):
+        return tuple(_padded_levels(z, pads))
+
+    _, vjp_pyr = jax.vjp(pyr_fn, z_outer)
+    (dz,) = vjp_pyr(tuple(level_cots))
     dz = lax.dynamic_update_slice(
         dz,
-        lax.dynamic_slice(dz, (off0, off1), (in0, in1)) + zcot_full,
-        (off0, off1))
+        lax.dynamic_slice(dz, inner_start, (in0, in1)) + zcot_full,
+        inner_start)
     return dz
 
 
@@ -2088,18 +2125,18 @@ _bwd_core = functools.partial(
     static_argnames=("tile_map_static", "levels_meta", "phases_meta",
                      "pads", "tile", "a_chunk", "a_num", "a_den",
                      "offset", "inner_shape", "dx", "dy", "step", "dist",
-                     "near_ex", "ray_org_elev",
-                     "interpret"))(backward_replay_fn)
+                     "near_ex", "ray_org_elev", "interpret",
+                     "level_shapes", "traced_assembly"))(backward_replay_fn)
 
 
-def _bwd_tile(cfg):
+def _bwd_tile_for(inner_shape, tile):
     """Backward kernel tile: smaller than the forward tile — per-azimuth
     winner ids concentrate on few ridges, so smaller tiles turn more
     step-presence tests false (each active step pays the full scatter
     machinery) and shrink the scatter slabs.  Must divide the padded
-    inner shape."""
-    in0, in1 = cfg.inner_shape
-    t0, t1 = cfg.tile
+    inner shape (the per-shard one under sharding)."""
+    in0, in1 = inner_shape
+    t0, t1 = tile
     bt0 = t0
     for c in (64,):
         if in0 % c == 0:
@@ -2111,6 +2148,10 @@ def _bwd_tile(cfg):
             bt1 = c
             break
     return bt0, bt1
+
+
+def _bwd_tile(cfg):
+    return _bwd_tile_for(cfg.inner_shape, cfg.tile)
 
 
 def _hz_bwd_replay(cfg, z_outer, tilt_ramp, raw, ids, aux, g):

@@ -105,9 +105,12 @@ _PShCfg = collections.namedtuple("_PShCfg", [
     "max_level", "interpret"])
 
 
-def _psh_fwd_value(mesh, cfg, z_outer, tilt_ramp):
+def _psh_fwd_value(mesh, cfg, z_outer, tilt_ramp, emit_argmax=False):
     """Sharded fused-Pallas forward: per-shard pallas_call with global
-    (row, azimuth) shard offsets.  Returns (in0, in1, azim_num)."""
+    (row, azimuth) shard offsets.  Returns (in0, in1, azim_num), or with
+    ``emit_argmax`` the raw triple ``(ratio, winner ids, stationary
+    denominators)`` each shaped (azim_num, in0, in1) and sharded
+    (azim, tile) — the winner-replay backward's residuals."""
     in0, in1 = cfg.inner_shape
     rows, az_loc = cfg.rows, cfg.az_loc
     # n_safe must hold for *every* shard: use the full-domain halo (the
@@ -131,20 +134,24 @@ def _psh_fwd_value(mesh, cfg, z_outer, tilt_ramp):
         zero = jnp.int32(0)
         soff = jnp.stack([row0, zero, az0, zero]).astype(jnp.int32)
         out = _pallas.pallas_forward_fn(z_rep, ramp_sh, tmap_rep, soff,
-                                        **statics)
-        return out                        # (az_loc, rows, in1)
+                                        emit_argmax=emit_argmax, **statics)
+        return out                        # (az_loc, rows, in1) [x3]
 
     ramp_specs = jax.tree_util.tree_map(
         lambda _: P(_mesh.AXIS_TILE, None), tilt_ramp)
+    out_spec = P(_mesh.AXIS_AZIM, _mesh.AXIS_TILE, None)
     # check_vma=False: pallas_call out_shapes carry no varying-axes type,
     # so the vma checker cannot thread them; sharding correctness is
     # covered by the equality tests (tests/test_sharding.py).
     fn = shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P(None, None), ramp_specs, P(None, None)),
-        out_specs=P(_mesh.AXIS_AZIM, _mesh.AXIS_TILE, None),
+        out_specs=(out_spec, out_spec, out_spec) if emit_argmax
+        else out_spec,
         check_vma=False)
-    out = jax.jit(fn)(z_outer, tilt_ramp, tmap)
+    out = jax.jit(fn, static_argnames=())(z_outer, tilt_ramp, tmap)
+    if emit_argmax:
+        return out                        # raw, ids, aux (global, sharded)
     return jnp.moveaxis(out, 0, -1)
 
 
@@ -232,24 +239,302 @@ def _psh_xla_equiv(mesh, cfg, z_outer, tilt_ramp):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
 def _pallas_hz_sharded(mesh, cfg, z_outer, tilt_ramp):
     """Differentiable sharded fused-kernel horizon: Pallas forward under
-    shard_map, sharded-XLA-sweep backward (recompute-based custom VJP; the
-    single-device analog is pallas_sweep._pallas_hz)."""
+    shard_map, winner-replay Pallas backward (per-shard replay of the
+    argmax-emitting forward's recorded winners; the replicated
+    heightfield's cotangent psums over the mesh).  The single-device
+    analog is pallas_sweep._pallas_hz; HZT_GRAD_RECOMPUTE=1 selects the
+    round-3 sharded-XLA-recompute VJP as a debugging fallback."""
     return _psh_fwd_value(mesh, cfg, z_outer, tilt_ramp)
 
 
 def _psh_fwd(mesh, cfg, z_outer, tilt_ramp):
-    return _psh_fwd_value(mesh, cfg, z_outer, tilt_ramp), \
-        (z_outer, tilt_ramp)
+    if _pallas._grad_mode() == "recompute":
+        return (_psh_fwd_value(mesh, cfg, z_outer, tilt_ramp),
+                (z_outer, tilt_ramp, None, None, None))
+    raw, ids, aux = _psh_fwd_value(mesh, cfg, z_outer, tilt_ramp,
+                                   emit_argmax=True)
+    out = jnp.clip(jnp.arctan(jnp.moveaxis(raw, 0, -1)),
+                   math.radians(cfg.elev_lims[0]),
+                   math.radians(cfg.elev_lims[1]))
+    return out, (z_outer, tilt_ramp, raw, ids, aux)
 
 
 def _psh_bwd(mesh, cfg, residuals, g):
-    z_outer, tilt_ramp = residuals
-    _, vjp = jax.vjp(lambda z, r: _psh_xla_equiv(mesh, cfg, z, r),
-                     z_outer, tilt_ramp)
-    return vjp(g)
+    z_outer, tilt_ramp, raw, ids, aux = residuals
+    if raw is None:
+        _, vjp = jax.vjp(lambda z, r: _psh_xla_equiv(mesh, cfg, z, r),
+                         z_outer, tilt_ramp)
+        return vjp(g)
+    return _psh_bwd_replay(mesh, cfg, z_outer, tilt_ramp, raw, ids, aux, g)
+
+
+def _psh_bwd_replay(mesh, cfg, z_outer, tilt_ramp, raw, ids, aux, g):
+    """Sharded winner-replay backward: chain the cotangent through
+    clip/arctan globally (elementwise — the residuals stay sharded), then
+    run the replay kernel per shard with its global (row, azimuth) offsets
+    and psum the replicated heightfield's cotangent over the mesh
+    (SURVEY.md:159-162 — the TBB std::plus reduction of
+    horizon_comp.cpp:739-800 made differentiable)."""
+    in0, in1 = cfg.inner_shape
+    rows, az_loc = cfg.rows, cfg.az_loc
+    graw = jnp.moveaxis(g, -1, 0)
+    th = jnp.arctan(raw)
+    lo = math.radians(cfg.elev_lims[0])
+    hi = math.radians(cfg.elev_lims[1])
+    inside = (th >= lo) & (th <= hi)
+    graw = jnp.where(inside, graw, 0.0) / (1.0 + raw * raw)
+
+    dr = None
+    if tilt_ramp is not None:
+        azim32 = ((2.0 * np.pi) / cfg.a_num
+                  * np.arange(cfg.a_num)).astype(np.float32)
+        sin_t = jnp.asarray(np.sin(azim32.astype(np.float64)),
+                            dtype=jnp.float32)
+        cos_t = jnp.asarray(np.cos(azim32.astype(np.float64)),
+                            dtype=jnp.float32)
+        dr = (jnp.einsum("aij,a->ij", graw, sin_t),
+              jnp.einsum("aij,a->ij", graw, cos_t))
+
+    # Per-shard backward statics: the replay kernel re-tiles at the
+    # (smaller) backward tile over the SHARD-LOCAL inner block.
+    bt0, bt1 = _pallas._bwd_tile_for((rows, in1), cfg.tile)
+    schedule = _sweep.build_schedule(cfg.step, cfg.dist, cfg.rel_err,
+                                     max_level=cfg.max_level)
+    lm_b, pm_b = _pallas._build_metas(schedule, bt0, bt1, cfg.step)
+    tmap_b = tuple(map(tuple, _pallas.tile_schedule(
+        (rows, in1), (bt0, bt1)).tolist()))
+    budget = max(1, (1 << 20) // (bt0 * bt1 * 4))
+    a_chunk_b = min(budget, az_loc)
+    while az_loc % a_chunk_b:
+        a_chunk_b -= 1
+    statics = dict(
+        tile_map_static=tmap_b, levels_meta=tuple(lm_b),
+        phases_meta=tuple(pm_b), pads=cfg.pads, tile=(bt0, bt1),
+        a_chunk=a_chunk_b, a_num=az_loc, a_den=cfg.a_num,
+        offset=cfg.offset, inner_shape=(rows, in1), dx=cfg.dx, dy=cfg.dy,
+        step=cfg.step, dist=cfg.dist, near_ex=cfg.near_ex,
+        ray_org_elev=cfg.ray_org_elev, interpret=cfg.interpret,
+        traced_assembly=True)
+
+    def bwd_shard_fn(z_rep, graw_sh, ids_sh, aux_sh):
+        row0 = jax.lax.axis_index(_mesh.AXIS_TILE) * rows
+        az0 = jax.lax.axis_index(_mesh.AXIS_AZIM) * az_loc
+        zero = jnp.int32(0)
+        soff = jnp.stack([row0, zero, az0, zero]).astype(jnp.int32)
+        dz = _pallas.backward_replay_fn(z_rep, graw_sh, ids_sh, aux_sh,
+                                        soff, **statics)
+        return jax.lax.psum(dz, (_mesh.AXIS_TILE, _mesh.AXIS_AZIM))
+
+    sh_spec = P(_mesh.AXIS_AZIM, _mesh.AXIS_TILE, None)
+    fn = shard_map(
+        bwd_shard_fn, mesh=mesh,
+        in_specs=(P(None, None), sh_spec, sh_spec, sh_spec),
+        out_specs=P(None, None),
+        check_vma=False)
+    dz = jax.jit(fn)(z_outer, graw, ids, aux)
+    return dz, dr
 
 
 _pallas_hz_sharded.defvjp(_psh_fwd, _psh_bwd)
+
+
+#: Hashable static config of one sharded multires Pallas invocation (the
+#: custom-VJP nondiff argument; see :func:`_mr_hz_sharded`).
+_MrShCfg = collections.namedtuple("_MrShCfg", [
+    "levels_meta", "phases_meta", "pads", "tile", "a_chunk", "a_num",
+    "az_loc", "rows", "offset", "inner_shape", "fine_shape", "dx", "dy",
+    "step", "dist", "near_ex", "n_safe", "ray_org_elev", "elev_lims",
+    "rel_err", "max_level", "ratio_log2", "coarse_offset", "is_fine",
+    "origins", "lengths", "pyr_shapes", "interpret"])
+
+
+def _mrsh_schedule(cfg):
+    return _sweep.build_schedule(cfg.step, cfg.dist, cfg.rel_err,
+                                 max_level=cfg.max_level)
+
+
+def _mrsh_pyramid(cfg, z_fine, z_coarse):
+    from horayzon_tpu.ops import multires as _mr
+    return tuple(_mr.combined_pyramid(
+        z_fine, z_coarse, cfg.ratio_log2, cfg.coarse_offset,
+        _mrsh_schedule(cfg), pad_extra=_pallas.LEVEL_PAD_EXTRA))
+
+
+def _mrsh_level_args(cfg, pyramid):
+    """Per-shard level inputs from the combined pyramid, all-traced: fine
+    levels become equal-length stacked row windows (one per tile shard,
+    8-aligned origins, bottom-padded with the sentinel where a window
+    overruns the level array); coarse levels pass through replicated.
+    The VJP of this slicing (overlap-add of the window cotangents back
+    into the level arrays) is exactly the backward's assembly step."""
+    from horayzon_tpu.ops import mip as _mip
+    args = []
+    for p, m in enumerate(cfg.levels_meta):
+        arr = pyramid[p]
+        if not cfg.is_fine[p]:
+            args.append(arr)
+            continue
+        length = cfg.lengths[p]
+        origs = cfg.origins[p]
+        overrun = max(o + length for o in origs) - arr.shape[0]
+        if overrun > 0:
+            arr = jnp.pad(arr, ((0, overrun), (0, 0)),
+                          constant_values=_mip.PAD_VALUE)
+        args.append(jnp.stack([
+            jax.lax.slice(arr, (o, 0), (o + length, arr.shape[1]))
+            for o in origs]))
+    return tuple(args)
+
+
+def _mrsh_soff(cfg, row0, az0):
+    """In-kernel shard offsets: global (row, azim) starts plus each fine
+    level's slice origin (the same static formula the host slicing used,
+    evaluated on the traced row0)."""
+    zero = jnp.int32(0)
+    origs = [((cfg.offset[0] + row0) // (2 ** m[0]) + 2) // 8 * 8
+             if cfg.is_fine[p] else zero
+             for p, m in enumerate(cfg.levels_meta)]
+    return jnp.stack([row0, zero, az0, zero] + origs).astype(jnp.int32)
+
+
+def _mrsh_fwd_value(mesh, cfg, z_fine, z_coarse, emit_argmax=False):
+    in0, in1 = cfg.inner_shape
+    rows, az_loc = cfg.rows, cfg.az_loc
+    off0, off1 = cfg.offset
+    hf, wf = cfg.fine_shape
+    pyramid = _mrsh_pyramid(cfg, z_fine, z_coarse)
+    level_args = _mrsh_level_args(cfg, pyramid)
+    statics = dict(
+        levels_meta=cfg.levels_meta, phases_meta=cfg.phases_meta,
+        pads=cfg.pads, tile=cfg.tile, a_chunk=cfg.a_chunk,
+        a_num=cfg.a_num, n_az_out=az_loc, offset=cfg.offset,
+        inner_shape=(rows, in1), dx=cfg.dx, dy=cfg.dy,
+        step=cfg.step, dist=cfg.dist, near_ex=cfg.near_ex,
+        n_safe=cfg.n_safe, ray_org_elev=cfg.ray_org_elev,
+        elev_lims=cfg.elev_lims, inner_start=(0, off1),
+        outer_shape=(hf, wf), interpret=cfg.interpret,
+        emit_argmax=emit_argmax)
+    tmap = jnp.asarray(_pallas.tile_schedule((rows, in1), cfg.tile))
+    z_rows = z_fine[off0:off0 + in0, :]
+
+    def shard_fn(z_sh, tmap_rep, *lvl_args):
+        row0 = jax.lax.axis_index(_mesh.AXIS_TILE) * rows
+        az0 = jax.lax.axis_index(_mesh.AXIS_AZIM) * az_loc
+        soff = _mrsh_soff(cfg, row0, az0)
+        pyr = tuple(a[0] if cfg.is_fine[p] else a
+                    for p, a in enumerate(lvl_args))
+        return _pallas.pallas_forward_fn(z_sh, None, tmap_rep, soff,
+                                         pyramid=pyr, **statics)
+
+    lvl_specs = tuple(P(_mesh.AXIS_TILE, None, None) if f
+                      else P(None, None) for f in cfg.is_fine)
+    out_spec = P(_mesh.AXIS_AZIM, _mesh.AXIS_TILE, None)
+    fn = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(_mesh.AXIS_TILE, None), P(None, None)) + lvl_specs,
+        out_specs=(out_spec, out_spec, out_spec) if emit_argmax
+        else out_spec,
+        check_vma=False)
+    out = jax.jit(fn)(z_rows, tmap, *level_args)
+    if emit_argmax:
+        return out
+    return jnp.moveaxis(out, 0, -1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _mr_hz_sharded(mesh, cfg, z_fine, z_coarse):
+    """Differentiable memory-scalable sharded multires horizon: per-shard
+    fused-Pallas forward over sliced fine windows + replicated coarse far
+    field, winner-replay backward whose window cotangents route through
+    the VJP of the window slicing + combined-pyramid build — gradients
+    reach both ``z_fine`` (sharded overlap-add) and ``z_coarse``."""
+    return _mrsh_fwd_value(mesh, cfg, z_fine, z_coarse)
+
+
+def _mrsh_fwd(mesh, cfg, z_fine, z_coarse):
+    raw, ids, aux = _mrsh_fwd_value(mesh, cfg, z_fine, z_coarse,
+                                    emit_argmax=True)
+    out = jnp.clip(jnp.arctan(jnp.moveaxis(raw, 0, -1)),
+                   math.radians(cfg.elev_lims[0]),
+                   math.radians(cfg.elev_lims[1]))
+    return out, (z_fine, z_coarse, raw, ids, aux)
+
+
+def _mrsh_bwd(mesh, cfg, residuals, g):
+    z_fine, z_coarse, raw, ids, aux = residuals
+    in0, in1 = cfg.inner_shape
+    rows, az_loc = cfg.rows, cfg.az_loc
+    off0, off1 = cfg.offset
+    graw = jnp.moveaxis(g, -1, 0)
+    th = jnp.arctan(raw)
+    lo = math.radians(cfg.elev_lims[0])
+    hi = math.radians(cfg.elev_lims[1])
+    graw = jnp.where((th >= lo) & (th <= hi), graw, 0.0) \
+        / (1.0 + raw * raw)
+
+    bt0, bt1 = _pallas._bwd_tile_for((rows, in1), cfg.tile)
+    lm_b, pm_b = _pallas._build_metas(_mrsh_schedule(cfg), bt0, bt1,
+                                      cfg.step)
+    tmap_b = tuple(map(tuple, _pallas.tile_schedule(
+        (rows, in1), (bt0, bt1)).tolist()))
+    budget = max(1, (1 << 20) // (bt0 * bt1 * 4))
+    a_chunk_b = min(budget, az_loc)
+    while az_loc % a_chunk_b:
+        a_chunk_b -= 1
+    # per-shard level-cotangent shapes: the sliced windows for fine
+    # levels, the full arrays for coarse ones
+    shard_shapes = tuple(
+        (cfg.lengths[p], cfg.pyr_shapes[p][1]) if cfg.is_fine[p]
+        else cfg.pyr_shapes[p]
+        for p in range(len(cfg.levels_meta)))
+    statics = dict(
+        tile_map_static=tmap_b, levels_meta=tuple(lm_b),
+        phases_meta=tuple(pm_b), pads=cfg.pads, tile=(bt0, bt1),
+        a_chunk=a_chunk_b, a_num=az_loc, a_den=cfg.a_num,
+        offset=cfg.offset, inner_shape=(rows, in1), dx=cfg.dx, dy=cfg.dy,
+        step=cfg.step, dist=cfg.dist, near_ex=cfg.near_ex,
+        ray_org_elev=cfg.ray_org_elev, interpret=cfg.interpret,
+        level_shapes=shard_shapes, traced_assembly=True)
+    z_rows = z_fine[off0:off0 + in0, :]
+
+    def bwd_shard_fn(z_sh, graw_sh, ids_sh, aux_sh):
+        row0 = jax.lax.axis_index(_mesh.AXIS_TILE) * rows
+        az0 = jax.lax.axis_index(_mesh.AXIS_AZIM) * az_loc
+        soff = _mrsh_soff(cfg, row0, az0)
+        level_cots, zcot = _pallas.backward_replay_fn(
+            z_sh, graw_sh, ids_sh, aux_sh, soff,
+            inner_start=(0, off1), **statics)
+        outs = []
+        for p, c in enumerate(level_cots):
+            if cfg.is_fine[p]:
+                # windows differ per tile shard; azim shards share them
+                outs.append(jax.lax.psum(c, (_mesh.AXIS_AZIM,))[None])
+            else:
+                outs.append(jax.lax.psum(
+                    c, (_mesh.AXIS_TILE, _mesh.AXIS_AZIM)))
+        zcot = jax.lax.psum(zcot, (_mesh.AXIS_AZIM,))
+        return tuple(outs), zcot
+
+    sh_spec = P(_mesh.AXIS_AZIM, _mesh.AXIS_TILE, None)
+    cot_specs = tuple(P(_mesh.AXIS_TILE, None, None) if f
+                      else P(None, None) for f in cfg.is_fine)
+    fn = shard_map(
+        bwd_shard_fn, mesh=mesh,
+        in_specs=(P(_mesh.AXIS_TILE, None), sh_spec, sh_spec, sh_spec),
+        out_specs=(cot_specs, P(_mesh.AXIS_TILE, None)),
+        check_vma=False)
+    level_cots, zcot = jax.jit(fn)(z_rows, graw, ids, aux)
+
+    def slice_fn(zf, zc):
+        return _mrsh_level_args(cfg, _mrsh_pyramid(cfg, zf, zc))
+
+    _, vjp_slice = jax.vjp(slice_fn, z_fine, z_coarse)
+    dzf, dzc = vjp_slice(tuple(level_cots))
+    dzf = dzf.at[off0:off0 + in0, off1:off1 + in1].add(zcot)
+    return dzf, dzc
+
+
+_mr_hz_sharded.defvjp(_mrsh_fwd, _mrsh_bwd)
 
 
 def horizon_sweep_multires_pallas_sharded(
@@ -278,12 +563,13 @@ def horizon_sweep_multires_pallas_sharded(
     ``O(inner rows + 2 * search distance)``, so domain size scales with
     chip count.  Same accuracy contract as
     :func:`horayzon_tpu.ops.multires.horizon_sweep_multires_pallas`;
-    forward-only, planar.  Returns (in0, in1, azim_num) float32 [radian].
+    planar.  Differentiable w.r.t. ``z_fine`` AND ``z_coarse``
+    (winner-replay custom VJP, :func:`_mr_hz_sharded`).  Returns
+    (in0, in1, azim_num) float32 [radian].
 
     Requirements: ``inner_shape[0]`` divisible by ``n_tile * tile[0]``
     and ``azim_num`` by the azim axis.
     """
-    from horayzon_tpu.ops import mip as _mip
     from horayzon_tpu.ops import multires as _mr
 
     n_tile = mesh.shape[_mesh.AXIS_TILE]
@@ -299,6 +585,7 @@ def horizon_sweep_multires_pallas_sharded(
     az_loc = azim_num // n_azim
 
     z_fine = jnp.asarray(z_fine, dtype=jnp.float32)
+    z_coarse = jnp.asarray(z_coarse, dtype=jnp.float32)
     hf, wf = z_fine.shape
     plan = _pallas.plan_sweep(
         z_fine.shape, inner_shape=(rows, in1), offset=offset, tile=tile,
@@ -310,76 +597,63 @@ def horizon_sweep_multires_pallas_sharded(
                                      max_level=plan["max_level"])
     _mr._validate_fine_halo(schedule, ratio_log2, plan["step"], offset,
                             inner_shape, z_fine.shape)
-    pyramid = _mr.combined_pyramid(z_fine, z_coarse, ratio_log2,
-                                   coarse_offset, schedule,
-                                   pad_extra=_pallas.LEVEL_PAD_EXTRA)
     off0, off1 = plan["offset"]
     t0, _t1 = plan["tile"]
     lm = plan["levels_meta"]
     # n_safe must hold for every shard: use the full-domain halo.
     halo = min(off0, off1, hf - off0 - in0, wf - off1 - in1)
 
-    # Host-side per-shard windows of the fine-derived levels.  Origins are
-    # 8-aligned DMA-start lower bounds; windows are equal-length (shard_map
-    # blocks must agree), bottom-padded with the sentinel where a shard's
-    # window overruns the level array.
+    # Per-shard window geometry for the fine-derived levels.  Origins are
+    # 8-aligned DMA-start lower bounds; windows are equal-length
+    # (shard_map blocks must agree) and must also cover the BACKWARD
+    # kernel's (smaller-tile, hence higher-start) window positions, whose
+    # alignment rounding can land a few rows past the forward windows.
+    bt0, bt1 = _pallas._bwd_tile_for((rows, in1), plan["tile"])
+    lm_b, _ = _pallas._build_metas(schedule, bt0, bt1, plan["step"])
+
     def _origin(s, k):
         return ((off0 + s * rows) // k + 2) // 8 * 8
 
-    is_fine = [m[0] < ratio_log2 for m in lm]
-    level_args = []
+    is_fine = tuple(m[0] < ratio_log2 for m in lm)
+    pyr_shapes = tuple(
+        tuple(s.shape) for s in jax.eval_shape(
+            lambda zf, zc: tuple(_mr.combined_pyramid(
+                zf, zc, ratio_log2,
+                (int(coarse_offset[0]), int(coarse_offset[1])),
+                schedule, pad_extra=_pallas.LEVEL_PAD_EXTRA)),
+            z_fine, z_coarse))
+    origins = []
+    lengths = []
     for p, m in enumerate(lm):
-        lvl, wsz0 = m[0], m[2]
-        arr = np.asarray(pyramid[p])
         if not is_fine[p]:
-            level_args.append(jnp.asarray(arr))
+            origins.append(())
+            lengths.append(0)
             continue
-        k = 2 ** lvl
-        origs = [_origin(s, k) for s in range(n_tile)]
+        k = 2 ** m[0]
+        origs = tuple(_origin(s, k) for s in range(n_tile))
         length = max(
-            ((off0 + (s + 1) * rows - t0) // k + 2 - origs[s]) // 8 * 8
-            + wsz0 for s in range(n_tile))
-        overrun = max(o + length for o in origs) - arr.shape[0]
-        if overrun > 0:
-            arr = np.pad(arr, ((0, overrun), (0, 0)),
-                         constant_values=_mip.PAD_VALUE)
-        level_args.append(jnp.asarray(np.stack(
-            [arr[o:o + length] for o in origs])))
+            max(((off0 + (s + 1) * rows - t0) // k + 2 - origs[s])
+                // 8 * 8 + m[2],
+                ((off0 + (s + 1) * rows - bt0) // k + 2 - origs[s])
+                // 8 * 8 + lm_b[p][2]) for s in range(n_tile))
+        origins.append(origs)
+        lengths.append(int(length))
 
-    statics = dict(
+    cfg = _MrShCfg(
         levels_meta=lm, phases_meta=plan["phases_meta"],
         pads=plan["pads"], tile=plan["tile"], a_chunk=plan["a_chunk"],
-        a_num=int(azim_num), n_az_out=az_loc, offset=plan["offset"],
-        inner_shape=(rows, in1), dx=plan["dx"], dy=plan["dy"],
+        a_num=int(azim_num), az_loc=az_loc, rows=rows,
+        offset=plan["offset"], inner_shape=(int(in0), int(in1)),
+        fine_shape=(int(hf), int(wf)), dx=plan["dx"], dy=plan["dy"],
         step=plan["step"], dist=plan["dist"], near_ex=plan["near_ex"],
         n_safe=max(0, halo - 2), ray_org_elev=float(ray_org_elev),
         elev_lims=(float(elev_ang_low_lim), float(elev_ang_up_lim)),
-        inner_start=(0, off1), outer_shape=(hf, wf),
-        interpret=interpret)
-    tmap = jnp.asarray(_pallas.tile_schedule((rows, in1), plan["tile"]))
-    z_rows = z_fine[off0:off0 + in0, :]
-
-    def shard_fn(z_sh, tmap_rep, *lvl_args):
-        row0 = jax.lax.axis_index(_mesh.AXIS_TILE) * rows
-        az0 = jax.lax.axis_index(_mesh.AXIS_AZIM) * az_loc
-        zero = jnp.int32(0)
-        origs = [((off0 + row0) // (2 ** m[0]) + 2) // 8 * 8
-                 if is_fine[p] else zero for p, m in enumerate(lm)]
-        soff = jnp.stack([row0, zero, az0, zero] + origs).astype(jnp.int32)
-        pyr = tuple(a[0] if is_fine[p] else a
-                    for p, a in enumerate(lvl_args))
-        return _pallas.pallas_forward_fn(z_sh, None, tmap_rep, soff,
-                                         pyramid=pyr, **statics)
-
-    lvl_specs = tuple(P(_mesh.AXIS_TILE, None, None) if f else P(None, None)
-                      for f in is_fine)
-    fn = shard_map(
-        shard_fn, mesh=mesh,
-        in_specs=(P(_mesh.AXIS_TILE, None), P(None, None)) + lvl_specs,
-        out_specs=P(_mesh.AXIS_AZIM, _mesh.AXIS_TILE, None),
-        check_vma=False)
-    out = jax.jit(fn)(z_rows, tmap, *level_args)
-    return jnp.moveaxis(out, 0, -1)
+        rel_err=plan["rel_err"], max_level=plan["max_level"],
+        ratio_log2=int(ratio_log2),
+        coarse_offset=(int(coarse_offset[0]), int(coarse_offset[1])),
+        is_fine=is_fine, origins=tuple(origins), lengths=tuple(lengths),
+        pyr_shapes=pyr_shapes, interpret=bool(interpret))
+    return _mr_hz_sharded(mesh, cfg, z_fine, z_coarse)
 
 
 def shadow_metric_pallas_sharded(mesh, z_outer, z_org_r, z_inner_r,

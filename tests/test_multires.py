@@ -186,3 +186,74 @@ def test_multires_alignment_validation():
     sched = sweep.build_schedule(25.0, 5000.0, 0.005)
     with pytest.raises(ValueError, match="aligned"):
         multires.combined_pyramid(z_fine, z_coarse, 2, (3, 0), sched)
+
+
+def test_multires_pallas_gradients_fd():
+    """Winner-replay VJP of the multires Pallas engine: gradients reach
+    BOTH the fine grid and the coarse far field.  Fine-grid check:
+    directional central finite difference (smooth dense candidates).
+    Coarse check: an isolated far-field ridge only the coarse grid can
+    see — its gradient must land on that ridge's coarse cells and match a
+    single-cell finite difference (a dense random direction is useless
+    there: far-field winners flip between closely spaced mip candidates,
+    so the loss is piecewise in any bulk perturbation)."""
+    import jax
+    import jax.numpy as jnp
+
+    dx = 25.0
+    dist = 4000.0
+    acc = 2.0
+    halo_full = int(dist / dx) + 16
+    inner = 32
+    n_full = inner + 2 * halo_full
+    full = gaussian_bumps_terrain(n_full, n_full, seed=9, amp=500.0)
+    r_log2 = 2
+    halo_fine = 96
+    i0 = halo_full - halo_fine
+    assert i0 % (2 ** r_log2) == 0
+    z_fine = jnp.asarray(full[i0:i0 + inner + 2 * halo_fine,
+                              i0:i0 + inner + 2 * halo_fine])
+    base_coarse = _downsample_max(full, 2 ** r_log2)
+    # Isolated ridge ~3 km north of the inner block, far outside the fine
+    # grid (fine halo = 2.4 km), spanning several coarse cells
+    ridge = np.zeros_like(base_coarse)
+    ri = (halo_full - 120) // 4
+    rj = slice((halo_full - 16) // 4, (halo_full + 48) // 4)
+    ridge[ri, rj] = 900.0
+    z_coarse = jnp.asarray(base_coarse + ridge)
+    kw = dict(ratio_log2=r_log2, coarse_offset=(i0, i0), dx=dx, dy=-dx,
+              offset=(halo_fine, halo_fine), inner_shape=(inner, inner),
+              dist_search=dist, hori_acc=acc, azim_num=4,
+              tile=(8, 32), a_chunk=4, interpret=True)
+
+    def loss(zf, zc):
+        h = multires.horizon_sweep_multires_pallas(zf, zc, **kw)
+        return jnp.mean(h ** 2)
+
+    gf, gc = jax.grad(loss, argnums=(0, 1))(z_fine, z_coarse)
+    gf = np.asarray(gf)
+    gc = np.asarray(gc)
+    assert np.isfinite(gf).all() and np.isfinite(gc).all()
+    assert np.abs(gf).max() > 0.0
+    # the ridge receives gradient (other azimuths route theirs to their
+    # own far-field winners in the ordinary coarse terrain)
+    assert np.abs(gc).max() > 0.0, "no gradient reaches the far field"
+    assert np.abs(gc[ri:ri + 2, rj]).sum() > 0.0
+    # fine-grid directional FD
+    rng = np.random.default_rng(13)
+    v = jnp.asarray(rng.normal(size=z_fine.shape).astype(np.float32))
+    eps = 0.05
+    fd = (float(loss(z_fine + eps * v, z_coarse))
+          - float(loss(z_fine - eps * v, z_coarse))) / (2 * eps)
+    d_an = float(np.vdot(gf, np.asarray(v)))
+    assert abs(d_an - fd) < 0.05 * (abs(fd) + abs(d_an)) + 1e-9, (d_an, fd)
+    # coarse single-cell FD at the ridge cell with the largest gradient
+    flat = np.abs(gc).argmax()
+    ci, cj = np.unravel_index(flat, gc.shape)
+    e = jnp.zeros_like(z_coarse).at[ci, cj].set(1.0)
+    eps_c = 0.5
+    fd_c = (float(loss(z_fine, z_coarse + eps_c * e))
+            - float(loss(z_fine, z_coarse - eps_c * e))) / (2 * eps_c)
+    assert abs(float(gc[ci, cj]) - fd_c) \
+        < 0.05 * (abs(fd_c) + abs(float(gc[ci, cj]))) + 1e-10, (
+            float(gc[ci, cj]), fd_c)

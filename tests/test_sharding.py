@@ -234,11 +234,13 @@ def test_sharded_multires_pallas_matches_single_device():
 
 
 def test_sharded_pallas_gradients(terrain):
-    """Differentiable sharded fast path (VERDICT r2 item 4): jax.grad of
-    the sharded fused-Pallas horizon equals the single-device Pallas
-    gradient (both recompute through the same XLA sweep in their custom
-    VJPs; the sharded one psums the replicated heightfield's cotangent
-    through the shard_map transpose)."""
+    """Sharded winner-replay backward (VERDICT r4 item 1): jax.grad of the
+    sharded fused-Pallas horizon equals the single-device replay gradient.
+    Both paths replay the SAME recorded winners through the same backward
+    kernel — the sharded one per shard with global (row, azimuth) offsets,
+    psumming the replicated heightfield's cotangent over the mesh — so
+    agreement is to f32 summation-order tolerance, and a central finite
+    difference pins the single-device gradient as ground truth."""
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
     import jax.numpy as jnp
@@ -267,31 +269,76 @@ def test_sharded_pallas_gradients(terrain):
     gz_m, gr_m = jax.grad(loss_sharded, argnums=(0, 1))(z, ramp)
     gmax = float(jnp.abs(gz_s).max())
     assert gmax > 0.0
-    # The single-device path differentiates the kernel's exact forward via
-    # the winner-replay backward; the sharded VJP recomputes through the
-    # XLA sweep, whose forward agrees within the accuracy contract but
-    # not bitwise (trailing-window vs midpoint parabolas) — so a few
-    # cells' winners resolve differently and their whole gradient
-    # contribution moves between neighbouring cells.  A finite-difference
-    # check of the single-device replay gradient is the ground truth; the
-    # cross-backend comparison is routing-aware: bounded mismatch count
-    # pointwise, directional agreement to the contract-level tolerance.
-    diff = np.abs(np.asarray(gz_m) - np.asarray(gz_s))
-    n_off = int((diff > 3e-2 * gmax).sum())
-    assert n_off <= max(24, int(0.02 * diff.size)), (
-        f"{n_off} cells beyond routing bound (max diff {diff.max():.2e}, "
-        f"gmax {gmax:.2e})")
-    v = jnp.asarray(rng.normal(size=diff.shape).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(gz_m), np.asarray(gz_s),
+                               rtol=1e-5, atol=1e-6 * gmax)
+    v = jnp.asarray(rng.normal(size=terrain.shape).astype(np.float32))
     d_s = float(jnp.vdot(gz_s, v))
-    d_m = float(jnp.vdot(gz_m, v))
-    assert abs(d_s - d_m) < 0.25 * (abs(d_s) + abs(d_m)) + 1e-9
     eps = 0.05
     fd = (float(loss_single(z + eps * v, ramp))
           - float(loss_single(z - eps * v, ramp))) / (2 * eps)
     assert abs(d_s - fd) < 0.05 * (abs(fd) + abs(d_s)) + 1e-9, (d_s, fd)
     for a, b in zip(gr_m, gr_s):
-        # ramp cotangents are smooth (no winner routing) but the two
-        # backends chain through their own forwards' raw ratios —
-        # contract-level agreement, not bitwise
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=5e-3, atol=1e-9)
+                                   rtol=1e-5, atol=1e-9)
+
+
+def test_sharded_multires_pallas_gradients():
+    """Winner-replay VJP of the memory-scalable sharded multires engine:
+    gradients w.r.t. z_fine AND z_coarse equal the single-device multires
+    replay gradients (same winners, same backward kernel per shard; window
+    cotangents overlap-add through the slicing VJP and psum over the
+    mesh)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    import jax.numpy as jnp
+
+    from horayzon_tpu.ops import multires
+
+    from reference_impl import gaussian_bumps_terrain as _terrain
+
+    dx = 25.0
+    dist = 4000.0
+    acc = 2.0
+    halo_full = int(dist / dx) + 16
+    inner = 32
+    n_full = inner + 2 * halo_full
+    full = _terrain(n_full, n_full, seed=9, amp=500.0)
+    azim_num = 8
+    r_log2 = 2
+    halo_fine = 96
+    i0 = halo_full - halo_fine
+    z_fine = jnp.asarray(full[i0:i0 + inner + 2 * halo_fine,
+                              i0:i0 + inner + 2 * halo_fine])
+
+    def _dmax(z, r):
+        h, w = z.shape
+        return z[:h - h % r, :w - w % r].reshape(h // r, r, w // r, r) \
+            .max(axis=(1, 3))
+
+    z_coarse = jnp.asarray(_dmax(full, 2 ** r_log2))
+    kw = dict(ratio_log2=r_log2, coarse_offset=(i0, i0), dx=dx, dy=-dx,
+              offset=(halo_fine, halo_fine), inner_shape=(inner, inner),
+              dist_search=dist, hori_acc=acc, azim_num=azim_num,
+              tile=(8, 32), a_chunk=4, interpret=True)
+
+    def loss_single(zf, zc):
+        h = multires.horizon_sweep_multires_pallas(zf, zc, **kw)
+        return jnp.mean(h ** 2)
+
+    mesh = pmesh.make_mesh(n_tile=4, n_azim=2)
+
+    def loss_sharded(zf, zc):
+        h = pshard.horizon_sweep_multires_pallas_sharded(
+            mesh, zf, zc, **kw)
+        return jnp.mean(h ** 2)
+
+    gf_s, gc_s = jax.grad(loss_single, argnums=(0, 1))(z_fine, z_coarse)
+    gf_m, gc_m = jax.grad(loss_sharded, argnums=(0, 1))(z_fine, z_coarse)
+    gmax = float(jnp.abs(gf_s).max())
+    assert gmax > 0.0
+    assert float(jnp.abs(gc_s).max()) > 0.0
+    np.testing.assert_allclose(np.asarray(gf_m), np.asarray(gf_s),
+                               rtol=1e-5, atol=1e-6 * gmax)
+    np.testing.assert_allclose(np.asarray(gc_m), np.asarray(gc_s),
+                               rtol=1e-5,
+                               atol=1e-6 * float(jnp.abs(gc_s).max()))
