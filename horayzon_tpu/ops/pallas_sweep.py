@@ -410,6 +410,21 @@ def _kernel(tmap_ref, soff_ref, z_org_ref, z_inner_ref, *refs, levels_meta,
                          & ((d + lo2a) * (d + hi2a) < 0.0))
                 r_int = (h0 - z_org - s_start * m
                          - 0.25 * d * d / a_s)
+                if extra is not None:
+                    valid = valid & extra
+                cand = jnp.where(valid, r_int, _NEG_INIT)
+                if not emit_argmax:
+                    return jnp.maximum(acc, cand)
+                # Grad path: record D = s_start + t* (t* = -d/(2a)) so
+                # the backward's envelope partials are closed-form in
+                # q*t* with no height re-reads (same polynomials as the
+                # horizon mode, without the 1/D ratio chain).
+                a0, i0, x0 = acc
+                upd = cand > a0
+                d_raw = s_start - 0.5 * d / a_s
+                return (jnp.where(upd, cand, a0),
+                        jnp.where(upd, cid, i0),
+                        jnp.where(upd, d_raw, x0))
             else:
                 c0 = h0 - z_org
                 u = (a_c * s_start - b_c) * s_start + c0
@@ -442,8 +457,9 @@ def _kernel(tmap_ref, soff_ref, z_org_ref, z_inner_ref, *refs, levels_meta,
 
         def point_update(acc, he, s_end, cid=None):
             if shadow:
-                return jnp.maximum(acc, he - z_org - s_end * m)
-            cand = (he - z_org) * (1.0 / s_end)
+                cand = he - z_org - s_end * m
+            else:
+                cand = (he - z_org) * (1.0 / s_end)
             if not emit_argmax:
                 return jnp.maximum(acc, cand)
             a0, i0, x0 = acc
@@ -967,32 +983,26 @@ def _kernel(tmap_ref, soff_ref, z_org_ref, z_inner_ref, *refs, levels_meta,
     lax.fori_loop(0, a_chunk, azim_loop, 0)
 
 
-def _build_metas(schedule, t0, t1, step):
-    """Static per-level window metadata and per-phase marching metadata.
+def _pool_sizes(wsz0, wsz1):
+    # 8x8-pooled companion window: window span in pooled blocks plus
+    # the DMA start-alignment remainders (<= 7 rows / 127 lanes).
+    return (_round_up(wsz0 // 8 + 1 + 7, 8),
+            _round_up(wsz1 // 8 + 1 + 127, 128))
 
-    Merges the level-0 phases into one dense phase entry; the kernel
-    re-splits it statically into d2 (near_exact two-read steps) and d1
-    (one-read steps), and into safe/masked ranges via n_safe.
-    """
-    def _pool_sizes(wsz0, wsz1):
-        # 8x8-pooled companion window: window span in pooled blocks plus
-        # the DMA start-alignment remainders (<= 7 rows / 127 lanes).
-        return (_round_up(wsz0 // 8 + 1 + 7, 8),
-                _round_up(wsz1 // 8 + 1 + 127, 128))
 
+def _metas_for_tile(pads, phases_meta, t0, t1):
+    """Per-level window metadata for a NEW tile shape from an existing
+    ``phases_meta`` (window geometry depends only on pads, phase levels
+    and the tile — no schedule rebuild needed; used by the backward
+    kernels, which re-tile smaller than the forward)."""
     levels_meta = []
-    phases_meta = []
-    n_dense_steps = sum(ph.num for ph in schedule.phases if ph.level == 0)
-    wpad0 = schedule.pads[0] + 2
+    wpad0 = pads[0] + 2
     wsz = (_round_up(t0 + 2 * wpad0 + 2 + 16 + 8, 8),
            _round_up(t1 + 2 * wpad0 + 2 + 256 + 128, 128))
     levels_meta.append((0, wpad0) + wsz + _pool_sizes(*wsz))
-    phases_meta.append((0, n_dense_steps, step, step))
-    for p, ph in enumerate(schedule.phases):
-        if ph.level == 0:
-            continue
-        lvl = ph.level
-        wpad = schedule.pads[lvl] + 2
+    for p in range(1, len(phases_meta)):
+        lvl = phases_meta[p][0]
+        wpad = pads[lvl] + 2
         k = 2 ** lvl
         # +8 rows / +128 cols: DMA source-start alignment remainder; a
         # further +8/+128 covers the aligned in-kernel read and another
@@ -1001,10 +1011,26 @@ def _build_metas(schedule, t0, t1, step):
                _round_up(t1 // k + 2 * wpad + 2 + 256 + 128 + 128 + 128,
                          128))
         levels_meta.append((lvl, wpad) + wsz + _pool_sizes(*wsz))
+    return levels_meta, list(phases_meta)
+
+
+def _build_metas(schedule, t0, t1, step):
+    """Static per-level window metadata and per-phase marching metadata.
+
+    Merges the level-0 phases into one dense phase entry; the kernel
+    re-splits it statically into d2 (near_exact two-read steps) and d1
+    (one-read steps), and into safe/masked ranges via n_safe.
+    """
+    n_dense_steps = sum(ph.num for ph in schedule.phases if ph.level == 0)
+    phases_meta = [(0, n_dense_steps, step, step)]
+    for p, ph in enumerate(schedule.phases):
+        if ph.level == 0:
+            continue
         s_vals = schedule.s_values[p]
-        step_l = float(s_vals[1] - s_vals[0]) if ph.num > 1 else step * k
-        phases_meta.append((lvl, ph.num, float(s_vals[0]), step_l))
-    return levels_meta, phases_meta
+        step_l = (float(s_vals[1] - s_vals[0]) if ph.num > 1
+                  else step * 2 ** ph.level)
+        phases_meta.append((ph.level, ph.num, float(s_vals[0]), step_l))
+    return _metas_for_tile(schedule.pads, phases_meta, t0, t1)
 
 
 def _vmem_limit(levels_meta, t0, t1, a_chunk, n_tensors=4):
@@ -1526,8 +1552,9 @@ _BWD_ABLATE = frozenset()
 
 def _bwd_kernel(tmap_ref, soff_ref, z_org_ref, g_ref, id_ref, aux_ref,
                 *refs, levels_meta, phases_meta, tile, a_chunk, a_num,
-                off0, off1, dx, dy, step, dist, near_exact):
-    """Winner-replay backward kernel (horizon modes).
+                off0, off1, dx, dy, step, dist, near_exact,
+                mode="horizon", grid_origin=(0.0, 0.0)):
+    """Winner-replay backward kernel (horizon and shadow modes).
 
     Grid and tile/window geometry mirror :func:`_kernel`.  Inputs: the
     ratio cotangent ``g_ref`` and winner-id map ``id_ref`` (from the
@@ -1544,11 +1571,21 @@ def _bwd_kernel(tmap_ref, soff_ref, z_org_ref, g_ref, id_ref, aux_ref,
     arrays and routes them through the VJP of the pyramid build
     (max-pools) to ``z_outer``.
 
-    refs layout: [trig (SMEM)] then outputs
+    mode="shadow": the second grid axis is a sun chunk and the metric is
+    the clearance ``h(s) - z_org - s*m`` (shadow_comp.cpp:454-467 made
+    differentiable).  The sample partial loses the horizon's 1/(s+t*)
+    ratio chain (scatter coefficients are the bare envelope polynomials)
+    and the ``z_org`` coefficient becomes ``-1 - S*dm/dz_org`` with
+    S = s (points) or the recorded D (parabola winners): the per-cell ray
+    slope ``m = (sun_z - z_org)/dot`` itself depends on the ray-origin
+    height, dot being the horizontal advance toward the sun.
+
+    refs layout: [trig (SMEM) / sun table (SMEM, shadow)] then outputs
     [wcot_0.. wcot_{L-1} (each (1, wsz0_p, wsz1_p)), zcot (1, t0, t1)]
     then scratch [zc (VMEM t0 x t1), strip (VMEM, when any level uses the
     strip-chunk adjoint)].
     """
+    shadow = mode == "shadow"
     n_levels = len(levels_meta)
     trig_ref = refs[0]
     wcot_refs = refs[1:1 + n_levels]
@@ -1594,12 +1631,39 @@ def _bwd_kernel(tmap_ref, soff_ref, z_org_ref, g_ref, id_ref, aux_ref,
         mip_id_off[_p] = _off
         _off += phases_meta[_p][1]
 
+    if shadow:
+        xr = ((jax.lax.broadcasted_iota(jnp.int32, (t0, t1), 1)
+               + b_base).astype(jnp.float32)) * dx + grid_origin[0]
+        yr = ((jax.lax.broadcasted_iota(jnp.int32, (t0, t1), 0)
+               + a_base).astype(jnp.float32)) * dy + grid_origin[1]
+
     def azim_loop(k_local, _):
-        k_glob = soff_ref[2] + ak * a_chunk + k_local
-        ux = trig_ref[k_glob, 0]
-        uy = trig_ref[k_glob, 1]
-        sh_i = uy / dy
-        sh_j = ux / dx
+        if shadow:
+            sun_x = trig_ref[k_local, 0]
+            sun_y = trig_ref[k_local, 1]
+            sun_z = trig_ref[k_local, 2]
+            kx_u = trig_ref[k_local, 3]
+            ky_u = trig_ref[k_local, 4]
+            sh_i = trig_ref[k_local, 5]
+            sh_j = trig_ref[k_local, 6]
+            sxr = sun_x - xr
+            syr = sun_y - yr
+            szr = sun_z - z_org
+            mag = jnp.sqrt(sxr * sxr + syr * syr + szr * szr)
+            dot = sxr * kx_u + syr * ky_u
+            adv = dot / mag
+            # dm/dz_org: on the unclamped arm m = szr/dot (the mag
+            # cancels, dot is z-independent); the adv <= 1e-4 clamp arm
+            # keeps the mag dependence of m = (szr/mag)/1e-4
+            dmdz = jnp.where(
+                adv > 1.0e-4, -1.0 / dot,
+                -(sxr * sxr + syr * syr) / (mag * mag * mag * 1.0e-4))
+        else:
+            k_glob = soff_ref[2] + ak * a_chunk + k_local
+            ux = trig_ref[k_glob, 0]
+            uy = trig_ref[k_glob, 1]
+            sh_i = uy / dy
+            sh_j = ux / dx
         ids = id_ref[k_local, :, :]
         gv = g_ref[k_local, :, :]
         aux = aux_ref[k_local, :, :]
@@ -1646,13 +1710,19 @@ def _bwd_kernel(tmap_ref, soff_ref, z_org_ref, g_ref, id_ref, aux_ref,
             wcot_refs[0][0, pl.ds(ia, r), pl.ds(ja, c)] = cur + slab
 
         def point_bwd(m):
-            """Dense point winner at step m: r = (h(s) - z_org)/s."""
+            """Dense point winner at step m: r = (h(s) - z_org)/s
+            (horizon) or h(s) - z_org - s*m (shadow)."""
             s = (m + 1).astype(jnp.float32) * step
             pm = ids == 2 * m
-            coef = jnp.where(pm, gv, 0.0) * (1.0 / s)
+            if shadow:
+                coef = jnp.where(pm, gv, 0.0)
+                zc = coef * (-1.0 - s * dmdz)
+            else:
+                coef = jnp.where(pm, gv, 0.0) * (1.0 / s)
+                zc = -coef
             di, dj, fi, fj = geom(s)
             scatter0(coef, di, dj, fi, fj)
-            zc_ref[...] += -coef
+            zc_ref[...] += zc
 
         def quad_bwd(m, d2):
             """Dense interior-parabola winner with id 2m+1.
@@ -1674,8 +1744,13 @@ def _bwd_kernel(tmap_ref, soff_ref, z_org_ref, g_ref, id_ref, aux_ref,
                 sm = s0 + step
                 s2 = s0 + 2.0 * step
             ok = qm & (aux > 1e-3)
-            inv_d = jnp.where(ok, 1.0 / jnp.where(ok, aux, 1.0), 0.0)
-            gq = jnp.where(ok, gv, 0.0) * inv_d
+            if shadow:
+                gq = jnp.where(ok, gv, 0.0)
+                zc = gq * (-1.0 - aux * dmdz)
+            else:
+                inv_d = jnp.where(ok, 1.0 / jnp.where(ok, aux, 1.0), 0.0)
+                gq = jnp.where(ok, gv, 0.0) * inv_d
+                zc = -gq
             tt = aux - s0                           # t*
             qt = q * tt
             qt2 = qt * qt
@@ -1685,7 +1760,7 @@ def _bwd_kernel(tmap_ref, soff_ref, z_org_ref, g_ref, id_ref, aux_ref,
             scatter0(gq * (4.0 * qt - 4.0 * qt2), di, dj, fi, fj)
             di, dj, fi, fj = geom(s2)
             scatter0(gq * (2.0 * qt2 - qt), di, dj, fi, fj)
-            zc_ref[...] += -gq
+            zc_ref[...] += zc
 
         # ---- d2 near field: per-id processing (midpoint samples sit off
         # the step lattice, so their scatters cannot merge; only nx~16
@@ -1716,9 +1791,13 @@ def _bwd_kernel(tmap_ref, soff_ref, z_org_ref, g_ref, id_ref, aux_ref,
         # up to four. ----
         def d1_terms(q):
             s = (q + 1).astype(jnp.float32) * step
-            coef = jnp.where((ids == 2 * q) & (q >= nx), gv, 0.0) \
-                * (1.0 / s)
-            zc = -coef
+            pm_q = (ids == 2 * q) & (q >= nx)
+            if shadow:
+                coef = jnp.where(pm_q, gv, 0.0)
+                zc = coef * (-1.0 - s * dmdz)
+            else:
+                coef = jnp.where(pm_q, gv, 0.0) * (1.0 / s)
+                zc = -coef
             if "no_quad" not in _BWD_ABLATE:
                 # off: which sample of quad m = q + (2 - off_idx)... per
                 # contributing quad m, partial index = q - (m - 2)
@@ -1728,15 +1807,20 @@ def _bwd_kernel(tmap_ref, soff_ref, z_org_ref, g_ref, id_ref, aux_ref,
                     # MIP point ids (they start at 2*n_dense)
                     qm = (ids == 2 * mm + 1) & (mm >= nx + 1) \
                         & (mm < n_dense) & (aux > 1e-3)
-                    inv_d = jnp.where(qm, 1.0 / jnp.where(qm, aux, 1.0),
-                                      0.0)
-                    gq = jnp.where(qm, gv, 0.0) * inv_d
+                    if shadow:
+                        gq = jnp.where(qm, gv, 0.0)
+                    else:
+                        inv_d = jnp.where(
+                            qm, 1.0 / jnp.where(qm, aux, 1.0), 0.0)
+                        gq = jnp.where(qm, gv, 0.0) * inv_d
                     s0 = (mm - 1).astype(jnp.float32) * step
                     qt = inv_l1 * (aux - s0)
                     qt2 = qt * qt
                     if kind == "chb":
                         coef += gq * (2.0 * qt2 - qt)
-                        zc += -gq          # one z_org term per quad
+                        # one z_org term per quad
+                        zc += (gq * (-1.0 - aux * dmdz) if shadow
+                               else -gq)
                     elif kind == "cha":
                         coef += gq * (4.0 * qt - 4.0 * qt2)
                     else:
@@ -1841,9 +1925,14 @@ def _bwd_kernel(tmap_ref, soff_ref, z_org_ref, g_ref, id_ref, aux_ref,
                                 def _():
                                     s = s_of(m)
                                     pm = ids == off_p + m
-                                    coef = jnp.where(pm, gv, 0.0) \
-                                        * (1.0 / s)
-                                    zc_ref[...] += -coef
+                                    if shadow:
+                                        coef = jnp.where(pm, gv, 0.0)
+                                        zc_ref[...] += coef \
+                                            * (-1.0 - s * dmdz)
+                                    else:
+                                        coef = jnp.where(pm, gv, 0.0) \
+                                            * (1.0 / s)
+                                        zc_ref[...] += -coef
                                     si, sj, ai, aj = stw(s)
                                     di = ai + (si - q0_i) * kpow
                                     dj = aj + (sj - q0_j) * kpow
@@ -1907,8 +1996,12 @@ def _bwd_kernel(tmap_ref, soff_ref, z_org_ref, g_ref, id_ref, aux_ref,
                     def _():
                         s = s_of(mm)
                         pm = ids == off_p + mm
-                        coef = jnp.where(pm, gv, 0.0) * (1.0 / s)
-                        zc_ref[...] += -coef
+                        if shadow:
+                            coef = jnp.where(pm, gv, 0.0)
+                            zc_ref[...] += coef * (-1.0 - s * dmdz)
+                        else:
+                            coef = jnp.where(pm, gv, 0.0) * (1.0 / s)
+                            zc_ref[...] += -coef
                         start_i, start_j, al_i, al_j = stw(s)
                         ia = pl.multiple_of((start_i // 8) * 8, 8)
                         ja = pl.multiple_of((start_j // 128) * 128, 128)
@@ -2129,6 +2222,247 @@ _bwd_core = functools.partial(
                      "level_shapes", "traced_assembly"))(backward_replay_fn)
 
 
+def shadow_backward_replay_fn(z_outer, z_org_r, gmet, ids, aux, sun_table,
+                              *, tile_map_static, levels_meta, phases_meta,
+                              pads, tile, t_chunk, num_sun, offset,
+                              inner_shape, dx, dy, step, dist, near_ex,
+                              grid_origin, interpret):
+    """Winner-replay backward for the shadow clearance metric.
+
+    ``gmet``/``ids``/``aux``: (num_sun, in0, in1) metric cotangents and
+    the argmax-emitting shadow forward's winner/denominator maps.
+    Returns ``(dz_outer, dz_org_r)`` — the heightfield cotangent (window
+    scatters routed through the pyramid-build VJP) and the ray-origin
+    cotangent (the ``-1 - S*dm/dz_org`` terms; the caller chains it to
+    its lattice heights)."""
+    t0, t1 = tile
+    in0, in1 = inner_shape
+    off0, off1 = offset
+    tmap_np = np.asarray(tile_map_static, dtype=np.int32).reshape(-1, 2)
+    tile_map = jnp.asarray(tmap_np)
+    padded = _padded_levels(z_outer, pads)
+    shard_off = jnp.zeros((4 + len(levels_meta),), jnp.int32)
+
+    grid = (tile_map.shape[0], num_sun // t_chunk)
+    kernel = functools.partial(
+        _bwd_kernel,
+        levels_meta=levels_meta, phases_meta=phases_meta,
+        tile=(t0, t1), a_chunk=t_chunk, a_num=num_sun,
+        off0=off0, off1=off1, dx=dx, dy=dy, step=step, dist=dist,
+        near_exact=near_ex, mode="shadow", grid_origin=grid_origin)
+
+    tile_spec = pl.BlockSpec(
+        (t0, t1), lambda ti, tk, tm, so: (tm[ti, 0], tm[ti, 1]),
+        memory_space=pltpu.VMEM)
+    ga_spec = pl.BlockSpec(
+        (t_chunk, t0, t1), lambda ti, tk, tm, so: (tk, tm[ti, 0],
+                                                   tm[ti, 1]),
+        memory_space=pltpu.VMEM)
+    sun_spec = pl.BlockSpec((t_chunk, 8), lambda ti, tk, tm, so: (tk, 0),
+                            memory_space=pltpu.SMEM)
+    in_specs = [tile_spec, ga_spec, ga_spec, ga_spec, sun_spec]
+    out_specs = [pl.BlockSpec((1,) + (m[2], m[3]),
+                              lambda ti, tk, tm, so: (ti, 0, 0),
+                              memory_space=pltpu.VMEM)
+                 for m in levels_meta]
+    out_specs += [pl.BlockSpec((1, t0, t1),
+                               lambda ti, tk, tm, so: (ti, 0, 0),
+                               memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((grid[0], m[2], m[3]), jnp.float32)
+                 for m in levels_meta]
+    out_shape += [jax.ShapeDtypeStruct((grid[0], t0, t1), jnp.float32)]
+    scratch_shapes = [pltpu.VMEM((t0, t1), jnp.float32)]
+    strip_shape = _strip_scratch_shape(levels_meta, (t0, t1))
+    if strip_shape is not None:
+        scratch_shapes = scratch_shapes + [
+            pltpu.VMEM(strip_shape, jnp.float32)]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch_shapes)
+    wcot_bytes = sum(m[2] * m[3] for m in levels_meta) * 4
+    blk_bytes = 2 * (3 * t_chunk + 3) * t0 * t1 * 4
+    slab_bytes = (t0 + 16) * (t1 + 256) * 4
+    vlim = min(int(2 * wcot_bytes + blk_bytes
+                   + 8 * slab_bytes + (8 << 20)), 100 << 20)
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vlim),
+        interpret=interpret,
+    )(tile_map, shard_off, z_org_r, gmet, ids, aux,
+      jnp.asarray(sun_table))
+    wcots = outs[:len(levels_meta)]
+    zcot_tiles = outs[len(levels_meta)]
+
+    level_cots = []
+    for p, m in enumerate(levels_meta):
+        k = 2 ** m[0]
+        full = jnp.zeros(padded[p].shape, jnp.float32)
+        for slot in range(tmap_np.shape[0]):
+            a_base = off0 + int(tmap_np[slot, 0]) * t0
+            b_base = off1 + int(tmap_np[slot, 1]) * t1
+            src_i_al = ((a_base // k + 2) // 8) * 8
+            src_j_al = ((b_base // k + 2) // 128) * 128
+            full = lax.dynamic_update_slice(
+                full,
+                lax.dynamic_slice(
+                    full, (src_i_al, src_j_al), (m[2], m[3]))
+                + wcots[p][slot],
+                (src_i_al, src_j_al))
+        level_cots.append(full)
+
+    def pyr_fn(z):
+        return tuple(_padded_levels(z, pads))
+
+    _, vjp_pyr = jax.vjp(pyr_fn, z_outer)
+    (dz,) = vjp_pyr(tuple(level_cots))
+
+    dzorg = jnp.zeros((in0, in1), jnp.float32)
+    for slot in range(tmap_np.shape[0]):
+        r0 = int(tmap_np[slot, 0]) * t0
+        c0 = int(tmap_np[slot, 1]) * t1
+        dzorg = lax.dynamic_update_slice(
+            dzorg,
+            lax.dynamic_slice(dzorg, (r0, c0), (t0, t1))
+            + zcot_tiles[slot],
+            (r0, c0))
+    return dz, dzorg
+
+
+#: Jitted entry for :func:`shadow_backward_replay_fn`.
+_shadow_bwd_core = functools.partial(
+    jax.jit,
+    static_argnames=("tile_map_static", "levels_meta", "phases_meta",
+                     "pads", "tile", "t_chunk", "num_sun", "offset",
+                     "inner_shape", "dx", "dy", "step", "dist", "near_ex",
+                     "grid_origin", "interpret"))(shadow_backward_replay_fn)
+
+
+#: Hashable static config of one differentiable Pallas shadow-metric
+#: invocation (see :func:`shadow_metric_pallas_diff`).
+_ShadCfg = collections.namedtuple("_ShadCfg", [
+    "levels_meta", "phases_meta", "pads", "tile", "t_chunk", "num_sun",
+    "t_pad", "offset", "inner_shape", "dx", "dy", "step", "dist",
+    "near_ex", "n_safe", "grid_origin", "tile_map", "interpret"])
+
+
+def shadow_metric_pallas_diff(z_outer, z_org_r, z_inner_r, sun_table, *,
+                              schedule, offset, inner_shape, dx, dy,
+                              grid_origin, tile=(128, 256), t_chunk=None,
+                              interpret=False):
+    """Differentiable batched shadow occlusion metric (fused Pallas).
+
+    Same value as :func:`shadow_metric_pallas` with
+    ``exact_metric=True``; additionally differentiable w.r.t. ``z_outer``
+    and ``z_org_r`` via a winner-replay custom VJP (the argmax-emitting
+    shadow forward + :func:`shadow_backward_replay_fn`).  ``z_inner_r``
+    receives a zero explicit cotangent: the first marching step's history
+    partial is attributed to the level-0 heightfield window at arc
+    distance 0, which reads the same cells — exact whenever
+    ``z_inner_r`` is (a padded copy of) the corresponding ``z_outer``
+    slice, as in every caller (:class:`horayzon_tpu.shadow.Terrain`).
+    Gradients w.r.t. sun positions are not propagated (zero cotangent).
+    """
+    z_outer = jnp.asarray(z_outer, dtype=jnp.float32)
+    sun_table = np.asarray(sun_table, dtype=np.float32)
+    num_sun = sun_table.shape[0]
+    in0, in1 = inner_shape
+    t0, t1 = tile
+    t0 = min(t0, in0)
+    t1 = min(t1, in1)
+    if in0 % t0 or in1 % t1:
+        raise ValueError(f"inner_shape {inner_shape} must be divisible by "
+                         f"tile {(t0, t1)}")
+    if t_chunk is None:
+        t_chunk = min(num_sun, 8)
+    t_pad = ((num_sun + t_chunk - 1) // t_chunk) * t_chunk
+    if t_pad != num_sun:
+        sun_table = np.concatenate(
+            [sun_table, np.repeat(sun_table[-1:], t_pad - num_sun, 0)], 0)
+    tmap = tile_schedule((in0, in1), (t0, t1))
+    levels_meta, phases_meta = _build_metas(schedule, t0, t1, schedule.step)
+    off0, off1 = offset
+    h_out, w_out = z_outer.shape
+    halo_cells = min(off0, off1, h_out - off0 - in0, w_out - off1 - in1)
+    near_ex = (schedule.phases[0].num
+               if schedule.phases[0].kind == "d2" else 0)
+    cfg = _ShadCfg(
+        levels_meta=tuple(levels_meta), phases_meta=tuple(phases_meta),
+        pads=schedule.pads, tile=(t0, t1), t_chunk=t_chunk,
+        num_sun=int(num_sun), t_pad=int(t_pad),
+        offset=(int(off0), int(off1)), inner_shape=(int(in0), int(in1)),
+        dx=float(dx), dy=float(dy), step=float(schedule.step),
+        dist=float(schedule.dist), near_ex=near_ex,
+        n_safe=max(0, halo_cells - 2),
+        grid_origin=(float(grid_origin[0]), float(grid_origin[1])),
+        tile_map=tuple(map(tuple, tmap.tolist())),
+        interpret=bool(interpret))
+    return _shadow_diff(cfg, z_outer,
+                        jnp.asarray(z_org_r, dtype=jnp.float32),
+                        jnp.asarray(z_inner_r, dtype=jnp.float32),
+                        jnp.asarray(sun_table))
+
+
+def _shadow_diff_fwd_value(cfg, z_outer, z_org_r, z_inner_r, sun_table,
+                           emit_argmax=False):
+    tmap = jnp.asarray(np.asarray(cfg.tile_map, np.int32).reshape(-1, 2))
+    out = _shadow_core(
+        z_outer, z_org_r, z_inner_r, sun_table, tmap,
+        jnp.zeros((4,), dtype=jnp.int32),
+        levels_meta=cfg.levels_meta, phases_meta=cfg.phases_meta,
+        pads=cfg.pads, tile=cfg.tile, t_chunk=cfg.t_chunk,
+        offset=cfg.offset, inner_shape=cfg.inner_shape,
+        dx=cfg.dx, dy=cfg.dy, step=cfg.step, dist=cfg.dist,
+        near_ex=cfg.near_ex, n_safe=cfg.n_safe,
+        grid_origin=cfg.grid_origin, interpret=cfg.interpret,
+        exact_metric=True, emit_argmax=emit_argmax)
+    if emit_argmax:
+        return out
+    return out[:cfg.num_sun]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _shadow_diff(cfg, z_outer, z_org_r, z_inner_r, sun_table):
+    return _shadow_diff_fwd_value(cfg, z_outer, z_org_r, z_inner_r,
+                                  sun_table)
+
+
+def _shadow_diff_fwd(cfg, z_outer, z_org_r, z_inner_r, sun_table):
+    met, ids, aux = _shadow_diff_fwd_value(
+        cfg, z_outer, z_org_r, z_inner_r, sun_table, emit_argmax=True)
+    return met[:cfg.num_sun], (z_outer, z_org_r, z_inner_r, sun_table,
+                               ids, aux)
+
+
+def _shadow_diff_bwd(cfg, residuals, g):
+    z_outer, z_org_r, z_inner_r, sun_table, ids, aux = residuals
+    if cfg.t_pad > cfg.num_sun:
+        g = jnp.pad(g, ((0, cfg.t_pad - cfg.num_sun), (0, 0), (0, 0)))
+    in0, in1 = cfg.inner_shape
+    bt0, bt1 = _bwd_tile_for(cfg.inner_shape, cfg.tile)
+    lm_b, pm_b = _metas_for_tile(cfg.pads, cfg.phases_meta, bt0, bt1)
+    tmap_b = tuple(map(tuple, tile_schedule((in0, in1),
+                                            (bt0, bt1)).tolist()))
+    t_chunk_b = cfg.t_chunk
+    dz, dzorg = _shadow_bwd_core(
+        z_outer, z_org_r, g, ids, aux, sun_table,
+        tile_map_static=tmap_b, levels_meta=tuple(lm_b),
+        phases_meta=tuple(pm_b), pads=cfg.pads, tile=(bt0, bt1),
+        t_chunk=t_chunk_b, num_sun=cfg.t_pad, offset=cfg.offset,
+        inner_shape=cfg.inner_shape, dx=cfg.dx, dy=cfg.dy, step=cfg.step,
+        dist=cfg.dist, near_ex=cfg.near_ex, grid_origin=cfg.grid_origin,
+        interpret=cfg.interpret)
+    return (dz, dzorg, jnp.zeros_like(z_inner_r),
+            jnp.zeros_like(sun_table))
+
+
+_shadow_diff.defvjp(_shadow_diff_fwd, _shadow_diff_bwd)
+
+
 def _bwd_tile_for(inner_shape, tile):
     """Backward kernel tile: smaller than the forward tile — per-azimuth
     winner ids concentrate on few ridges, so smaller tiles turn more
@@ -2293,7 +2627,8 @@ def shadow_forward_fn(z_outer, z_org_r, z_inner_r, sun_table, tile_map,
                       shard_off, *, levels_meta, phases_meta, pads, tile,
                       t_chunk, offset, inner_shape, dx, dy, step, dist,
                       near_ex, n_safe, grid_origin, interpret,
-                      pyramid=None, pooled=None, exact_metric=True):
+                      pyramid=None, pooled=None, exact_metric=True,
+                      emit_argmax=False):
     """Unjitted fused shadow forward: pyramid + padding + Pallas kernel.
 
     Safe to embed in ``shard_map``; ``tile_map``/``shard_off`` as in
@@ -2301,11 +2636,16 @@ def shadow_forward_fn(z_outer, z_org_r, z_inner_r, sun_table, tile_map,
     never sharded inside one call).  ``pyramid``/``pooled``: optional
     pre-built padded levels and their 8x8-pooled companions (from
     :func:`build_padded_pyramid`) so initialise-once callers skip the
-    per-query rebuild."""
+    per-query rebuild.  ``emit_argmax``: gradient-path forward — also
+    return the per-(sun, cell) winner-id and stationary-denominator maps
+    for the shadow winner-replay backward (requires
+    ``exact_metric=True``: sign-exact skips may drop the true winner)."""
     t0, t1 = tile
     in0, in1 = inner_shape
     off0, off1 = offset
     num_sun = sun_table.shape[0]
+    if emit_argmax and not exact_metric:
+        raise ValueError("emit_argmax requires exact_metric=True")
 
     if pyramid is None:
         padded, pooled = build_padded_pyramid(z_outer, pads, levels_meta)
@@ -2331,7 +2671,8 @@ def shadow_forward_fn(z_outer, z_org_r, z_inner_r, sun_table, tile_map,
         off0=off0, off1=off1, outer_shape=tuple(z_outer.shape),
         dx=dx, dy=dy, step=step, dist=dist,
         near_exact=near_ex, n_safe=n_safe, mode="shadow",
-        grid_origin=grid_origin, exact_metric=exact_metric)
+        grid_origin=grid_origin, exact_metric=exact_metric,
+        emit_argmax=emit_argmax)
 
     tile_spec = pl.BlockSpec(
         (t0, t1), lambda ti, tk, tm, so: (tm[ti, 0], tm[ti, 1]),
@@ -2354,21 +2695,32 @@ def shadow_forward_fn(z_outer, z_org_r, z_inner_r, sun_table, tile_map,
         scratch_shapes = scratch_shapes + [
             pltpu.VMEM(strip_shape, jnp.float32)]
 
+    out_spec = pl.BlockSpec(
+        (t_chunk, t0, t1),
+        lambda ti, tk, tm, so: (tk, tm[ti, 0], tm[ti, 1]),
+        memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((num_sun, in0, in1), jnp.float32)
+    out_specs = out_spec
+    if emit_argmax:
+        out_specs = [out_spec, out_spec, out_spec]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((num_sun, in0, in1), jnp.int32),
+                     jax.ShapeDtypeStruct((num_sun, in0, in1),
+                                          jnp.float32)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (t_chunk, t0, t1),
-            lambda ti, tk, tm, so: (tk, tm[ti, 0], tm[ti, 1]),
-            memory_space=pltpu.VMEM),
+        out_specs=out_specs,
         scratch_shapes=scratch_shapes)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((num_sun, in0, in1), jnp.float32),
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_vmem_limit(levels_meta, t0, t1, t_chunk)),
+            vmem_limit_bytes=_vmem_limit(
+                levels_meta, t0, t1, t_chunk,
+                n_tensors=4 + (2 if emit_argmax else 0))),
         interpret=interpret,
     )(tile_map, shard_off, z_org_r, z_inner_r, sun_table, *padded, *pooled)
 
@@ -2379,4 +2731,5 @@ _shadow_core = functools.partial(
     static_argnames=("levels_meta", "phases_meta", "pads", "tile",
                      "t_chunk", "offset", "inner_shape", "dx", "dy", "step",
                      "dist", "near_ex", "n_safe", "grid_origin",
-                     "interpret", "exact_metric"))(shadow_forward_fn)
+                     "interpret", "exact_metric",
+                     "emit_argmax"))(shadow_forward_fn)

@@ -540,7 +540,7 @@ class Terrain:
         return np.asarray(self._run(sun_positions, "sw_dir_cor"))
 
     def sw_dir_cor_soft(self, sun_position, elevation=None, soft_tau=1.0,
-                        straight_through=True):
+                        straight_through=True, interpret=False):
         """Differentiable shortwave correction factor (soft occlusion).
 
         The hard terrain-occlusion step (shadow_comp.cpp:563-576) has zero
@@ -548,9 +548,15 @@ class Terrain:
         to ``sigmoid(clearance / soft_tau)`` (``soft_tau`` in metres of
         signed clearance) per SURVEY.md section 7 step 8.  With
         ``straight_through`` (default) the forward VALUES equal the hard
-        :meth:`sw_dir_cor` result computed by the XLA sweep engine and
-        only the backward uses the sigmoid; ``straight_through=False``
-        gives the fully soft value (use for finite-difference checks).
+        :meth:`sw_dir_cor` result and only the backward uses the sigmoid;
+        ``straight_through=False`` gives the fully soft value (use for
+        finite-difference checks).
+
+        On the ``pallas`` engine the metric and its gradient run through
+        the fused kernel (argmax-emitting forward + winner-replay
+        backward, :func:`horayzon_tpu.ops.pallas_sweep.
+        shadow_metric_pallas_diff`) with the whole sun batch in one
+        device call; other engines use the XLA sweep per sun position.
 
         ``elevation``: optional outer compute-lattice heightfield to
         differentiate through (defaults to the stored terrain).  Returns
@@ -561,6 +567,10 @@ class Terrain:
         sun_position = self._check(sun_position)
         z = (self._z_outer if elevation is None
              else jnp.asarray(elevation, dtype=jnp.float32))
+        if self.engine == "pallas":
+            return self._soft_pallas(sun_position, z, float(soft_tau),
+                                     bool(straight_through),
+                                     interpret=interpret)
         kw = dict(sched_meta=self.schedule.meta(),
                   pads=self.schedule.pads, offset=self.offset,
                   comp_shape=self.comp_shape,
@@ -574,3 +584,44 @@ class Terrain:
         return jax.lax.map(
             lambda sp: step(z, self._fields, sp),
             jnp.asarray(sun_position))
+
+    def _soft_pallas(self, sun_position, z, soft_tau, straight_through,
+                     interpret=False):
+        """Differentiable sw_dir_cor on the fused Pallas engine: the
+        lattice ray-origin fields are rebuilt from the traced ``z`` so
+        gradients flow through the clearance metric (winner-replay VJP),
+        the ray-slope field and (on regular grids) the classification
+        heights."""
+        from horayzon_tpu.ops import pallas_sweep as _pallas
+        single = sun_position.ndim == 1
+        sp = np.atleast_2d(sun_position)
+        table, near_vert = _pallas.shadow_sun_table(
+            sp, self._pallas_center, self.grid.dx, self.grid.dy)
+        c0, c1 = self.comp_shape
+        p0, p1 = self._pallas_shape
+        z_inner_r = jax.lax.dynamic_slice(z, self.offset, self.comp_shape)
+        z_org_r = z_inner_r + _RAY_ORG_ELEV * self._fields["norm_r_z"]
+        zorg_pad = jnp.pad(z_org_r, ((0, p0 - c0), (0, p1 - c1)),
+                           mode="edge")
+        zin_pad = jnp.pad(z_inner_r, ((0, p0 - c0), (0, p1 - c1)),
+                          mode="edge")
+        metric = _pallas.shadow_metric_pallas_diff(
+            z, zorg_pad, zin_pad, table,
+            schedule=self.schedule, offset=self.offset,
+            inner_shape=self._pallas_shape, dx=self.grid.dx,
+            dy=self.grid.dy, grid_origin=self._grid_origin,
+            tile=self._pallas_tile, interpret=interpret)
+        metric = metric[:, :c0, :c1]
+        nv = jnp.asarray(near_vert)[:, None, None]
+        occluded = jnp.logical_and(metric > 0.0, jnp.logical_not(nv))
+        metric = jnp.where(nv, jnp.float32(-1.0e30), metric)
+        fields = self._fields
+        if not self._curved:
+            fields = dict(fields, z_org=z_org_r)
+        out = jax.vmap(lambda spv, occ, met: _classify_one(
+            fields, spv, occ, refrac_cor=self.refrac_cor,
+            mode="sw_dir_cor", ang_max=self.ang_max, curved=self._curved,
+            metric=met, soft_tau=soft_tau,
+            straight_through=straight_through))(
+            jnp.asarray(sp, dtype=jnp.float32), occluded, metric)
+        return out[0] if single else out
