@@ -611,27 +611,75 @@ def _curved_gridded(x, y, z, vec_norm, vec_north, offset_0, offset_1, azim,
     norm_r = norm_r.astype(np.float32)
     north_r = north_r.astype(np.float32)
 
+    # Masked curved runs: map the caller's per-cell mask through the
+    # planarisation onto the regular lattice (a lattice cell is needed iff
+    # an unmasked original cell's bilinear read-back stencil touches it)
+    # and engage the same cost-model masked tiling as planar runs — the
+    # reference's masked example IS curved (South Georgia,
+    # examples/horizon/gridded_curved_DEM_masked.py; per-cell skip at
+    # horizon_comp.cpp:749).  Masked tiles never launch; unmasked lattice
+    # values are bit-equal to the dense run (mask-aware init skips are
+    # value-exact), so the sampled-back horizon of unmasked cells is too.
+    lat_mask = None
+    if mask is not None and (mask == 1).any():
+        lat_mask = np.zeros((rin0, rin1), dtype=np.uint8)
+        fi_l = np.clip(fi_b - i_lo, 0.0, rin0 - 1.0)
+        fj_l = np.clip(fj_b - j_lo, 0.0, rin1 - 1.0)
+        i0m = np.floor(fi_l).astype(np.int64)
+        j0m = np.floor(fj_l).astype(np.int64)
+        for di in (0, 1):
+            for dj in (0, 1):
+                lat_mask[np.clip(i0m + di, 0, rin0 - 1),
+                         np.clip(j0m + dj, 0, rin1 - 1)] = 1
+
     pl_shape = None
+    use_mask_k = False
+    blk0 = (0, 0)
     if engine in ("auto", "pallas"):
-        pl_shape = _pallas_padded_shape((hr, wr), (i_lo, j_lo),
-                                        (rin0, rin1))
+        if lat_mask is not None:
+            choice = _masked_tile_choice((hr, wr), (i_lo, j_lo),
+                                         (rin0, rin1), lat_mask)
+            if choice is not None:
+                blk0, pl_shape, use_mask_k = (
+                    choice[0], choice[1:3], choice[3])
+        if pl_shape is None:
+            pl_shape = _pallas_padded_shape((hr, wr), (i_lo, j_lo),
+                                            (rin0, rin1))
     if pl_shape is not None and (engine == "pallas"
                                  or (engine == "auto" and _on_tpu())):
         from horayzon_tpu.ops import pallas_sweep as _pallas
         (p0, p1), tile = pl_shape
-        ramp_a = (norm_r[..., 0] / norm_r[..., 2]).astype(np.float32)
-        ramp_b = (norm_r[..., 1] / norm_r[..., 2]).astype(np.float32)
-        ramp_a = np.pad(ramp_a, ((0, p0 - rin0), (0, p1 - rin1)),
-                        mode="edge")
-        ramp_b = np.pad(ramp_b, ((0, p0 - rin0), (0, p1 - rin1)),
-                        mode="edge")
-        hori_r = _pallas.horizon_sweep_pallas(
-            pg.z, dx=pg.grid.dx, dy=pg.grid.dy, offset=(i_lo, j_lo),
+        br0, bc0 = blk0
+        mask_pad = None
+        if use_mask_k:
+            mask_pad = np.zeros((p0, p1), dtype=np.uint8)
+            sub = lat_mask[br0:, bc0:]
+            mask_pad[:sub.shape[0], :sub.shape[1]] = sub[:p0, :p1]
+
+        def _blk(field):
+            f = field[br0:br0 + p0, bc0:bc0 + p1]
+            return np.pad(f, ((0, p0 - f.shape[0]), (0, p1 - f.shape[1])),
+                          mode="edge")
+
+        ramp_a = _blk((norm_r[..., 0] / norm_r[..., 2]).astype(np.float32))
+        ramp_b = _blk((norm_r[..., 1] / norm_r[..., 2]).astype(np.float32))
+        hori_blk = _pallas.horizon_sweep_pallas(
+            pg.z, dx=pg.grid.dx, dy=pg.grid.dy,
+            offset=(i_lo + br0, j_lo + bc0),
             inner_shape=(p0, p1), azim_num=len(azim),
             dist_search=dist_search_m, hori_acc=hori_acc,
             elev_ang_low_lim=elev_ang_low_lim, ray_org_elev=ray_org_elev,
-            tile=tile, tilt_ramp=(ramp_a, ramp_b))
-        hori_r = np.asarray(hori_r[:rin0, :rin1])
+            tile=tile, tilt_ramp=(ramp_a, ramp_b), mask=mask_pad)
+        if blk0 == (0, 0) and p0 >= rin0 and p1 >= rin1:
+            hori_r = np.asarray(hori_blk[:rin0, :rin1])
+        else:
+            # paste the computed block; cells outside it are only read
+            # back by masked original cells, which get hori_fill upstream
+            v0 = min(p0, rin0 - br0)
+            v1 = min(p1, rin1 - bc0)
+            hori_r = np.zeros((rin0, rin1, len(azim)), dtype=np.float32)
+            hori_r[br0:br0 + v0, bc0:bc0 + v1] = \
+                np.asarray(hori_blk[:v0, :v1])
     else:
         geom = _terrain.basis_fields(norm_r, north_r)
         u_xy = _terrain.mean_marching_directions(azim, norm_r, north_r)
