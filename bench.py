@@ -68,7 +68,12 @@ def main():
                     help="search distance [km]")
     ap.add_argument("--dx", type=float, default=25.0)
     ap.add_argument("--acc", type=float, default=0.25)
-    ap.add_argument("--iters", type=int, default=3)
+    # 8 dispatches per timed batch: the batch is closed by ONE dependent
+    # readback, so the host<->device roundtrip (~25 ms through a tunnel)
+    # amortises to ~3 ms per call instead of ~8 ms at the old default of
+    # 3 — which understated the speedup of every sub-100 ms row (masked
+    # runs, shadow) relative to the headline sweep.
+    ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--cpu-baseline", action="store_true", default=True)
     ap.add_argument("--no-cpu-baseline", dest="cpu_baseline",
                     action="store_false")

@@ -216,6 +216,92 @@ def _masked_tile_choice(outer_shape, offset, inner_shape, mask):
     return (r0, c0), best[1], best[2], True
 
 
+#: Maximum row bands a masked run may be decomposed into (each band pays
+#: one kernel launch; the pyramid build is shared).
+_MAX_MASK_BANDS = 4
+
+
+def _masked_bands_choice(outer_shape, offset, inner_shape, mask,
+                         max_bands=_MAX_MASK_BANDS):
+    """Masked-run plan: single bbox block or a row-band decomposition.
+
+    Extends :func:`_masked_tile_choice` toward the reference's per-cell
+    skip (horizon_comp.cpp:749): the unmasked bbox is optionally split
+    into 2..``max_bands`` contiguous row bands (at tile-row boundaries),
+    each with its OWN column bbox — a diagonal or round mask (the ocean
+    disc) wastes up to ~40% of a single bbox on never-active columns that
+    per-band bboxes reclaim.  All candidate (tile, band-count) pairs are
+    scored ``sum over bands of active_tiles * t0 * t1 * cost(t0, t1)``
+    with the measured cost table; a multi-band plan must beat the best
+    single block by >5% (each extra band pays a kernel launch).
+
+    Returns ``None`` (nothing unmasked / nothing fits),
+    ``("single", (r0, c0), (b0p, b1p), (t0, t1), use_mask)`` (delegate to
+    the single-block path), or ``("bands", [(blk0, shape, tile, band_mask
+    or None), ...])``.
+    """
+    from horayzon_tpu.ops import pallas_sweep as _pallas
+
+    def up(x, m):
+        return ((x + m - 1) // m) * m
+
+    single = _masked_tile_choice(outer_shape, offset, inner_shape, mask)
+    if single is None:
+        return None
+    table = _tile_cost_table()
+    mask = np.asarray(mask)
+    rows = np.flatnonzero(mask.any(axis=1))
+    cols = np.flatnonzero(mask.any(axis=0))
+    r0, c0 = int(rows[0]), int(cols[0])
+    b0 = int(rows[-1]) + 1 - r0
+    sub = mask[r0:r0 + b0, c0:int(cols[-1]) + 1]
+    single_cost = None
+    best = None
+    for (t0, t1), r in table.items():
+        n_tr = (b0 + t0 - 1) // t0
+        for k in range(1, min(max_bands, n_tr) + 1):
+            bounds = [round(n_tr * g / k) for g in range(k + 1)]
+            cost_k = 0.0
+            bands = []
+            feasible = True
+            for g in range(k):
+                tr0, tr1 = bounds[g], bounds[g + 1]
+                if tr1 <= tr0:
+                    continue
+                rr0 = tr0 * t0
+                b0p_g = (tr1 - tr0) * t0
+                m_rows = sub[rr0:min(rr0 + b0p_g, b0)]
+                bcols = np.flatnonzero(m_rows.any(axis=0))
+                if bcols.size == 0:
+                    continue
+                cg0 = int(bcols[0])
+                b1p_g = up(int(bcols[-1]) + 1 - cg0, t1)
+                if (offset[0] + r0 + rr0 + b0p_g > outer_shape[0]
+                        or offset[1] + c0 + cg0 + b1p_g
+                        > outer_shape[1]):
+                    feasible = False
+                    break
+                m_pad = np.zeros((b0p_g, b1p_g), dtype=np.uint8)
+                blkm = m_rows[:, cg0:cg0 + b1p_g]
+                m_pad[:blkm.shape[0], :blkm.shape[1]] = blkm
+                n_act = _pallas.tile_schedule(
+                    (b0p_g, b1p_g), (t0, t1), m_pad).shape[0]
+                cost_k += n_act * t0 * t1 * r
+                bands.append(((r0 + rr0, c0 + cg0), (b0p_g, b1p_g),
+                              (t0, t1),
+                              m_pad if (m_pad == 0).any() else None))
+            if not feasible or not bands:
+                continue
+            if k == 1 and (single_cost is None or cost_k < single_cost):
+                single_cost = cost_k
+            if best is None or cost_k < best[0]:
+                best = (cost_k, bands)
+    if best is None or len(best[1]) == 1 or single_cost is None \
+            or best[0] >= 0.95 * single_cost:
+        return ("single",) + tuple(single)
+    return ("bands", best[1])
+
+
 def _pallas_padded_shape(outer_shape, offset, inner_shape):
     """Inner shape padded up to Pallas tile multiples, or None if the outer
     grid has no room (padded cells are computed and discarded)."""
@@ -349,17 +435,21 @@ def horizon_gridded(
         pl_shape = None
         use_mask = False
         blk0 = (0, 0)
+        band_plan = None
         if engine in ("auto", "pallas") and planar:
             if mask.min() == 0:
-                # Masked run: compute block re-based to the unmasked
-                # bounding box; tile shape chosen by the measured cost
-                # model (thin tiles skip more masked cells but cost more
-                # per cell); see _masked_tile_choice.
-                choice = _masked_tile_choice(
+                # Masked run: compute block(s) re-based to the unmasked
+                # region; tile shape (and an optional row-band
+                # decomposition) chosen by the measured cost model — see
+                # _masked_tile_choice / _masked_bands_choice.
+                choice = _masked_bands_choice(
                     z.shape, (offset_0, offset_1), inner_shape, mask)
-                if choice is not None:
-                    blk0, pl_shape, use_mask = (
-                        choice[0], choice[1:3], choice[3])
+                if choice is not None and choice[0] == "bands":
+                    band_plan = choice[1]
+                    pl_shape = (band_plan[0][1], band_plan[0][2])
+                elif choice is not None:
+                    _, blk0, shp_s, tile_s, use_mask = choice
+                    pl_shape = (shp_s, tile_s)
             else:
                 pl_shape = _pallas_padded_shape(
                     z.shape, (offset_0, offset_1), inner_shape)
@@ -378,7 +468,22 @@ def horizon_gridded(
                 "enable the fused kernel.", RuntimeWarning, stacklevel=2)
 
         t0 = time.perf_counter()
-        if use_pallas:
+        if use_pallas and band_plan is not None:
+            from horayzon_tpu.ops import pallas_sweep as _pallas
+            outs = _pallas.horizon_sweep_pallas_bands(
+                z, dx=grid.dx, dy=grid.dy, offset=(offset_0, offset_1),
+                bands=band_plan, azim_num=azim_num,
+                dist_search=dist_search * 1000.0, hori_acc=hori_acc,
+                elev_ang_low_lim=elev_ang_low_lim,
+                ray_org_elev=ray_org_elev)
+            hori = jnp.full(inner_shape + (azim_num,),
+                            jnp.float32(hori_fill))
+            for (bblk, bshape, _bt, _bm), ob in zip(band_plan, outs):
+                v0 = min(bshape[0], inner_shape[0] - bblk[0])
+                v1 = min(bshape[1], inner_shape[1] - bblk[1])
+                hori = hori.at[bblk[0]:bblk[0] + v0,
+                               bblk[1]:bblk[1] + v1].set(ob[:v0, :v1])
+        elif use_pallas:
             from horayzon_tpu.ops import pallas_sweep as _pallas
             (in0p, in1p), tile = pl_shape
             # Mask-driven work skipping: tiles with no unmasked cell never

@@ -1208,6 +1208,101 @@ def horizon_sweep_pallas(z_outer, *, dx, dy, offset, inner_shape, azim_num,
     return _pallas_hz(cfg, z_outer, tilt_ramp, mask_arr)
 
 
+#: Compiled-run cache for :func:`horizon_sweep_pallas_bands` (keyed by the
+#: full static geometry including mask content hashes, so repeated calls
+#: with the same plan reuse one compilation).
+_BANDS_CACHE = {}
+
+
+def horizon_sweep_pallas_bands(z_outer, *, dx, dy, offset, bands, azim_num,
+                               dist_search, hori_acc=0.25,
+                               elev_ang_low_lim=-15.0,
+                               elev_ang_up_lim=89.98, ray_org_elev=0.01,
+                               rel_err=None, max_level=10,
+                               interpret=False):
+    """Multi-rectangle masked horizon: one pyramid build, one fused-kernel
+    launch per row band, all inside one jitted program.
+
+    ``bands``: sequence of ``(blk0, shape, tile, mask)`` with ``blk0`` the
+    band's inner-relative (row, col) start, ``shape`` its padded block
+    shape, ``tile`` the (shared) kernel tile and ``mask`` an optional
+    per-cell uint8 block mask.  Decomposing a masked region into per-band
+    column bboxes lets the tile grid hug the unmasked shape much closer
+    than one global bbox can (the reference gets this for free from its
+    per-cell scalar loop, horizon_comp.cpp:749); every band's unmasked
+    cells are bit-equal to the dense run (tile placement and mask-aware
+    init are value-exact).
+
+    Forward-only.  Returns a list of (shape[0], shape[1], azim_num)
+    float32 [radian] band arrays in ``bands`` order.
+    """
+    import hashlib
+
+    z_outer = jnp.asarray(z_outer, dtype=jnp.float32)
+    off0, off1 = offset
+    tile = tuple(bands[0][2])
+    plans = []
+    for blk0, shape, b_tile, _mask in bands:
+        if tuple(b_tile) != tile:
+            raise ValueError("all bands must share one tile shape")
+        plans.append(plan_sweep(
+            z_outer.shape, inner_shape=tuple(shape),
+            offset=(off0 + int(blk0[0]), off1 + int(blk0[1])),
+            tile=tile, azim_num=azim_num, dist_search=dist_search,
+            dx=dx, dy=dy, hori_acc=hori_acc, rel_err=rel_err,
+            max_level=max_level))
+    pads = plans[0]["pads"]
+    lm = plans[0]["levels_meta"]
+
+    key_parts = [z_outer.shape, float(dx), float(dy), offset,
+                 int(azim_num), float(dist_search), float(hori_acc),
+                 float(ray_org_elev), bool(interpret)]
+    tmaps = []
+    mask_args = []
+    for blk0, shape, _t, mask in bands:
+        tmap = tile_schedule(tuple(shape), tile, mask)
+        tmaps.append(tmap)
+        key_parts.append((tuple(blk0), tuple(shape),
+                          None if mask is None
+                          else hashlib.sha1(
+                              np.asarray(mask, np.uint8).tobytes())
+                          .hexdigest()))
+        mask_args.append(None if mask is None
+                         else jnp.asarray(np.asarray(mask, np.uint8)))
+    key = tuple(map(repr, key_parts))
+
+    if key not in _BANDS_CACHE:
+        statics = []
+        for p, (blk0, shape, _t, mask) in zip(plans, bands):
+            statics.append(dict(
+                levels_meta=p["levels_meta"], phases_meta=p["phases_meta"],
+                pads=p["pads"], tile=p["tile"], a_chunk=p["a_chunk"],
+                a_num=int(azim_num), n_az_out=int(azim_num),
+                offset=p["offset"], inner_shape=p["inner_shape"],
+                dx=p["dx"], dy=p["dy"], step=p["step"], dist=p["dist"],
+                near_ex=p["near_ex"], n_safe=p["n_safe"],
+                ray_org_elev=float(ray_org_elev),
+                elev_lims=(float(elev_ang_low_lim),
+                           float(elev_ang_up_lim)),
+                interpret=bool(interpret)))
+        tmap_consts = [jnp.asarray(t) for t in tmaps]
+
+        def core(z, masks):
+            padded = _padded_levels(z, pads)
+            pooled = _pool8(padded, lm)
+            soff = jnp.zeros((4,), jnp.int32)
+            outs = []
+            for i, st in enumerate(statics):
+                out = pallas_forward_fn(
+                    z, None, tmap_consts[i], soff, pyramid=tuple(padded),
+                    pooled=tuple(pooled), mask_arr=masks[i], **st)
+                outs.append(jnp.moveaxis(out, 0, -1))
+            return tuple(outs)
+
+        _BANDS_CACHE[key] = jax.jit(core)
+    return list(_BANDS_CACHE[key](z_outer, mask_args))
+
+
 #: Extra sentinel margins (lo, hi_rows, hi_cols) the Pallas kernel needs
 #: around each pyramid level beyond the schedule pad: low +4 keeps window
 #: DMA starts >= 0; highs cover the aligned-slab roll margins (rows: +16
@@ -1249,8 +1344,8 @@ def pallas_forward_fn(z_outer, tilt_ramp, tile_map, shard_off, *,
                       levels_meta, phases_meta, pads, tile, a_chunk, a_num,
                       n_az_out, offset, inner_shape, dx, dy, step, dist,
                       near_ex, n_safe, ray_org_elev, elev_lims, interpret,
-                      pyramid=None, inner_start=None, outer_shape=None,
-                      mask_arr=None, emit_argmax=False):
+                      pyramid=None, pooled=None, inner_start=None,
+                      outer_shape=None, mask_arr=None, emit_argmax=False):
     """Unjitted fused forward: mip pyramid + padding + Pallas sweep + arctan.
 
     Safe to embed in ``shard_map`` (the jitted single-device entry is
@@ -1289,7 +1384,10 @@ def pallas_forward_fn(z_outer, tilt_ramp, tile_map, shard_off, *,
         padded, pooled = build_padded_pyramid(z_outer, pads, levels_meta)
     else:
         padded = list(pyramid)
-        pooled = _pool8(padded, levels_meta)
+        if pooled is None:
+            pooled = _pool8(padded, levels_meta)
+        else:
+            pooled = list(pooled)
 
     n_soff = 4 + len(levels_meta)
     if shard_off.shape[0] < n_soff:
