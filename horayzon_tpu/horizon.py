@@ -71,7 +71,7 @@ def _mask_bbox(mask):
 #: tiles amortise the aligned-slab roll margins; the table trades that
 #: against computing extra padded columns.
 _LANE_TILE_COST_TABLES = {
-    "TPU v5 lite": {256: 1.0, 512: 0.811, 1024: 0.749},
+    "TPU v5 lite": {256: 1.0, 512: 0.812, 1024: 0.748},
 }
 #: Unmeasured devices: the slab-margin geometry (cols rounded up to
 #: width + 384 vs width + 128) favours wide tiles on every TPU
@@ -87,20 +87,31 @@ _LANE_TILE_COST_FALLBACK = {256: 1.0, 512: 0.93, 1024: 0.90}
 #: not shrink with the tile, hence the steep row scaling.  Drives the
 #: masked-run tile chooser (:func:`_masked_tile_choice`).
 _TILE_COST_TABLES = {
+    # Round-5 `tools/ablate_kernel.py --tile-sweep` on the bench v5e
+    # (within ~2% of the round-4 measurements; committed so the built-in
+    # and a freshly tuned cache agree on this device kind).
     "TPU v5 lite": {
-        (128, 1024): 1.000, (128, 512): 1.083, (128, 256): 1.336,
-        (64, 1024): 1.102, (64, 512): 1.307, (64, 256): 1.664,
-        (32, 1024): 1.343, (32, 512): 1.710, (32, 256): 2.372,
-        (16, 1024): 1.849, (16, 512): 2.550, (16, 256): 4.038,
-        (8, 256): 7.84,
+        (128, 1024): 1.000, (128, 512): 1.085, (128, 256): 1.337,
+        (64, 1024): 1.103, (64, 512): 1.307, (64, 256): 1.673,
+        (32, 1024): 1.350, (32, 512): 1.731, (32, 256): 2.406,
+        (16, 1024): 1.866, (16, 512): 2.594, (16, 256): 4.124,
+        (8, 256): 8.02,
     },
 }
-#: Unmeasured devices: restrict the masked menu to 128-row tiles (the
-#: lane-width ratios mirror the fallback lane table; thin-row costs are
-#: too device-dependent to guess in a chooser that MINIMISES cost).
+#: Unmeasured devices: a full-menu fallback with CONSERVATIVE thin-tile
+#: ratios (scaled ~1.25x above the v5e measurements below 128 rows, so
+#: the chooser only picks a thin tile when the active-tile saving clearly
+#: pays even if this device's slab-margin costs are worse than v5e's).
+#: Run ``tools/ablate_kernel.py --tile-sweep`` once per device kind to
+#: replace these with measurements; _masked_tile_choice prints a one-line
+#: hint when it falls back here.
 _TILE_COST_FALLBACK = {
     (128, 1024): 1.000, (128, 512): 1.08, (128, 256): 1.29,
+    (64, 1024): 1.38, (64, 512): 1.63, (64, 256): 2.08,
+    (32, 1024): 1.68, (32, 512): 2.14, (32, 256): 2.97,
+    (16, 1024): 2.31, (16, 512): 3.19, (16, 256): 5.05,
 }
+_TUNE_HINT_PRINTED = False
 
 
 def _device_kind():
@@ -148,7 +159,18 @@ def _tile_cost_table():
     if tuned:
         return {tuple(int(x) for x in k.split("x")): float(v)
                 for k, v in tuned.items()}
-    return _TILE_COST_TABLES.get(_device_kind(), _TILE_COST_FALLBACK)
+    table = _TILE_COST_TABLES.get(_device_kind())
+    if table is not None:
+        return table
+    global _TUNE_HINT_PRINTED
+    if not _TUNE_HINT_PRINTED:
+        _TUNE_HINT_PRINTED = True
+        print(f"horayzon_tpu: no measured kernel tile-cost table for "
+              f"device kind '{_device_kind() or 'unknown'}' — using "
+              f"conservative fallback ratios for masked-run tiling.  Run "
+              f"`python tools/ablate_kernel.py --tile-sweep` once on this "
+              f"device to autotune (cached per device kind).")
+    return _TILE_COST_FALLBACK
 
 
 def _masked_tile_choice(outer_shape, offset, inner_shape, mask):
