@@ -57,6 +57,146 @@ def make_terrain(h, w, seed=0, dx=25.0):
     return z.astype(np.float32)
 
 
+def curved_masked_row(result, args, time_run, jnp):
+    """Curved ocean-masked benchmark (see the call site in main)."""
+    from horayzon_tpu import direction, regrid, transform
+    from horayzon_tpu import horizon as _hzmod
+    from horayzon_tpu.ops import pallas_sweep
+
+    nC, dlatC = 1024, 0.000833
+    lat0, lon0 = 45.0, 7.0
+    lat = lat0 + (np.arange(nC)[::-1] - nC / 2) * dlatC
+    lon = lon0 + (np.arange(nC) - nC / 2) * dlatC
+    lon2, lat2 = np.meshgrid(lon, lat)
+    rng = np.random.default_rng(6)
+    elev = np.zeros_like(lon2)
+    for _ in range(24):
+        clon = rng.uniform(lon.min(), lon.max())
+        clat = rng.uniform(lat.min(), lat.max())
+        sig = rng.uniform(0.01, 0.1)
+        elev += rng.uniform(200, 1400) * np.exp(
+            -(((lon2 - clon) ** 2 + (lat2 - clat) ** 2) / (2 * sig ** 2)))
+    elev = elev.astype(np.float32)
+    trans = transform.TransformerEcef2enu(lon0, lat0, "sphere")
+    xe, ye, ze = transform.lonlat2ecef(lon2, lat2, elev, "sphere")
+    x, y, z = transform.ecef2enu(xe, ye, ze, trans)
+    vn_ecef = direction.surf_norm(lon2, lat2)
+    vec_norm = transform.ecef2enu_vector(vn_ecef, trans)
+    pg = regrid.planarize(x, y, z)
+    hr, wr = pg.grid.shape
+
+    inC, offC = 512, 256
+    x_in = x[offC:offC + inC, offC:offC + inC]
+    y_in = y[offC:offC + inC, offC:offC + inC]
+    fi_in, fj_in = pg.to_regular_indices(x_in, y_in)
+    # South Georgia-shaped island (~8% considered)
+    yyc, xxc = np.mgrid[0:inC, 0:inC]
+    msk = ((((yyc - inC * 0.5) / (inC * 0.22)) ** 2
+            + ((xxc - inC * 0.5) / (inC * 0.11)) ** 2) <= 1.0) \
+        .astype(np.uint8)
+
+    def lattice_box(fi_b, fj_b):
+        i_lo = max(int(np.floor(fi_b.min())) - 1, 0)
+        i_hi = min(int(np.ceil(fi_b.max())) + 2, hr)
+        j_lo = max(int(np.floor(fj_b.min())) - 1, 0)
+        j_hi = min(int(np.ceil(fj_b.max())) + 2, wr)
+        return i_lo, i_hi, j_lo, j_hi
+
+    # ramps at lattice cells (the _curved_gridded tilt-ramp fields)
+    def ramps(i_lo, i_hi, j_lo, j_hi):
+        fi_src = np.clip(pg.fi[i_lo:i_hi, j_lo:j_hi] - offC, 0.0,
+                         inC - 1.0)
+        fj_src = np.clip(pg.fj[i_lo:i_hi, j_lo:j_hi] - offC, 0.0,
+                         inC - 1.0)
+        nr = regrid._bilinear(
+            vec_norm[offC:offC + inC, offC:offC + inC]
+            .astype(np.float64), fi_src, fj_src)
+        nr /= np.linalg.norm(nr, axis=-1, keepdims=True)
+        return ((nr[..., 0] / nr[..., 2]).astype(np.float32),
+                (nr[..., 1] / nr[..., 2]).astype(np.float32))
+
+    z_lat = jnp.asarray(pg.z)
+    dist_m = args.dist * 1000.0 / 2.0      # 10 km on the curved scene
+    kwc = dict(dx=pg.grid.dx, dy=pg.grid.dy, dist_search=dist_m,
+               hori_acc=args.acc, azim_num=args.azim)
+
+    # dense curved run over the full inner lattice box.  If right/down
+    # padding to tile multiples overruns the lattice, shift the window
+    # start left/up instead (the box start is a lower bound, not exact).
+    i_lo, i_hi, j_lo, j_hi = lattice_box(fi_in, fj_in)
+    rin0, rin1 = i_hi - i_lo, j_hi - j_lo
+    pl = _hzmod._pallas_padded_shape((hr, wr), (i_lo, j_lo), (rin0, rin1))
+    if pl is None:
+        def up(x, m):
+            return ((x + m - 1) // m) * m
+        t0d = 128 if rin0 >= 128 else up(rin0, 8)
+        t1d = 256 if rin1 >= 256 else up(rin1, 128)
+        p0d, p1d = up(rin0, t0d), up(rin1, t1d)
+        if p0d > hr or p1d > wr:
+            raise ValueError("lattice too small for tile padding")
+        i_lo = min(i_lo, hr - p0d)
+        j_lo = min(j_lo, wr - p1d)
+        # the shifted padded block IS the box now (start moved up/left,
+        # end still covers i_hi/j_hi)
+        rin0, rin1 = p0d, p1d
+        tile_d = (t0d, t1d)
+    else:
+        (p0d, p1d), tile_d = pl
+    ra, rb = ramps(i_lo, i_lo + p0d, j_lo, j_lo + p1d)
+
+    def run_dense():
+        return pallas_sweep.horizon_sweep_pallas(
+            z_lat, offset=(i_lo, j_lo), inner_shape=(p0d, p1d),
+            tile=tile_d, tilt_ramp=(ra, rb), **kwc)
+
+    dt_dense = time_run(run_dense)
+
+    # masked curved run: lattice stencil-cover mask + cost-model tiling
+    sel = msk == 1
+    lat_mask = np.zeros((rin0, rin1), np.uint8)
+    fi_l = np.clip(fi_in[sel] - i_lo, 0.0, rin0 - 1.0)
+    fj_l = np.clip(fj_in[sel] - j_lo, 0.0, rin1 - 1.0)
+    i0m = np.floor(fi_l).astype(np.int64)
+    j0m = np.floor(fj_l).astype(np.int64)
+    for di in (0, 1):
+        for dj in (0, 1):
+            lat_mask[np.clip(i0m + di, 0, rin0 - 1),
+                     np.clip(j0m + dj, 0, rin1 - 1)] = 1
+    choice = _hzmod._masked_tile_choice((hr, wr), (i_lo, j_lo),
+                                        (rin0, rin1), lat_mask)
+    (br0, bc0), (p0m, p1m), tile_m, use_mask = choice
+    m_pad = np.zeros((p0m, p1m), np.uint8)
+    subm = lat_mask[br0:, bc0:]
+    m_pad[:subm.shape[0], :subm.shape[1]] = subm[:p0m, :p1m]
+    ram, rbm = ramps(i_lo + br0, i_lo + br0 + p0m,
+                     j_lo + bc0, j_lo + bc0 + p1m)
+
+    def run_masked():
+        return pallas_sweep.horizon_sweep_pallas(
+            z_lat, offset=(i_lo + br0, j_lo + bc0),
+            inner_shape=(p0m, p1m), tile=tile_m, tilt_ramp=(ram, rbm),
+            mask=m_pad if use_mask else None, **kwc)
+
+    dt_masked = time_run(run_masked)
+
+    # unmasked-lattice-cell equality vs the dense run (device-side diff)
+    hm = run_masked()
+    hd = run_dense()
+    v0 = min(p0m, p0d - br0)
+    v1 = min(p1m, p1d - bc0)
+    mj = jnp.asarray(m_pad[:v0, :v1] == 1)[..., None]
+    dmax = float(jnp.max(jnp.where(
+        mj, jnp.abs(hm[:v0, :v1] - hd[br0:br0 + v0, bc0:bc0 + v1]), 0.0)))
+
+    result["masked_curved_considered_frac"] = float(msk.mean())
+    result["masked_curved_lattice_shape"] = [int(rin0), int(rin1)]
+    result["masked_curved_tile"] = list(tile_m)
+    result["masked_curved_dense_wall_time_s"] = dt_dense
+    result["masked_curved_wall_time_s"] = dt_masked
+    result["masked_curved_speedup"] = dt_dense / dt_masked
+    result["masked_curved_unmasked_cell_max_diff_rad"] = dmax
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--inner", type=int, default=1024,
@@ -263,6 +403,20 @@ def main():
             "reachable on TPU vector units - see BASELINE.md masked-domain "
             "analysis")
 
+        # Curved ocean-masked row: the reference's flagship masked example
+        # is CURVED (South Georgia, gridded_curved_DEM_masked.py).  A
+        # synthetic spherical-cap scene is planarised once (host-side,
+        # untimed — identical for dense and masked); the dense curved run
+        # (tilt-ramp Pallas on the lattice) is timed against the masked
+        # run, whose island mask maps onto the lattice and engages the
+        # cost-model tiling (horizon._curved_gridded path).  Unmasked
+        # lattice cells must equal the dense run exactly.
+        try:
+            curved_masked_row(result, args, time_run, jnp)
+        except Exception as exc:
+            result["masked_curved_error"] = \
+                f"{type(exc).__name__}: {exc}"[:200]
+
     # Shadow benchmark: one sun position = one ray/cell in the reference
     # (shadow_comp.cpp:386-491).  A 16-sun track batches through the fused
     # Pallas kernel (per-tile windows amortised over the batch); the
@@ -325,13 +479,68 @@ def main():
                 tile=bench_tile)
             return jnp.mean(hh ** 2)
 
-        vg = jax.value_and_grad(grad_loss)
+        vg = jax.jit(jax.value_and_grad(grad_loss))
         try:
             dt_grad = time_run(lambda: vg(z_dev)[1])
             result["grad_wall_time_s"] = dt_grad
             result["grad_vs_forward"] = dt_grad / dt
         except Exception as exc:
             result["grad_error"] = f"{type(exc).__name__}: {exc}"[:200]
+
+        # Sharded gradient row: the same winner-replay backward through
+        # horizon_sweep_pallas_sharded on a 1x1 mesh (the bench host has
+        # one chip; the code path — shard_map argmax forward, per-shard
+        # replay, psum — is identical to the multi-chip one, which the
+        # driver's dryrun executes on an 8-device virtual mesh).
+        try:
+            from horayzon_tpu.parallel import mesh as _pmesh
+            from horayzon_tpu.parallel import shard as _pshard
+            mesh1 = _pmesh.make_mesh(n_tile=1, n_azim=1,
+                                     devices=jax.devices()[:1])
+
+            def loss_sharded(zz):
+                hh = _pshard.horizon_sweep_pallas_sharded(
+                    mesh1, zz, dx=args.dx, dy=-args.dx,
+                    offset=(args.halo, args.halo),
+                    inner_shape=(in0, in1), azim_num=args.azim,
+                    dist_search=args.dist * 1000.0, hori_acc=args.acc,
+                    tile=bench_tile)
+                return jnp.mean(hh ** 2)
+
+            # outer jit: the sharded path builds shard_map closures
+            # per call, which only hit the compile cache when traced
+            # inside one enclosing jit (as a training step would be)
+            vgs = jax.jit(jax.value_and_grad(loss_sharded))
+            dt_sgrad = time_run(lambda: vgs(z_dev)[1])
+            result["sharded_grad_wall_time_s"] = dt_sgrad
+            result["sharded_grad_vs_forward"] = dt_sgrad / dt
+        except Exception as exc:
+            result["sharded_grad_error"] = \
+                f"{type(exc).__name__}: {exc}"[:200]
+
+        # Shadow gradient row: value_and_grad of the soft shortwave
+        # metric over the 16-sun track through the shadow winner-replay
+        # backward (shadow_comp.cpp:563-576 made differentiable at
+        # production speed).
+        try:
+            def loss_shadow(zz):
+                z_i = jax.lax.dynamic_slice(
+                    zz, (args.halo, args.halo), (in0, in1))
+                z_o = z_i + 0.05
+                met = pallas_sweep.shadow_metric_pallas_diff(
+                    zz, z_o, z_i, table, schedule=sh_schedule,
+                    offset=(args.halo, args.halo),
+                    inner_shape=(in0, in1), dx=args.dx, dy=-args.dx,
+                    grid_origin=(0.0, 0.0), tile=bench_tile)
+                return jnp.mean(jax.nn.sigmoid(met / 2.0))
+
+            vgsh = jax.jit(jax.value_and_grad(loss_shadow))
+            dt_shg = time_run(lambda: vgsh(z_dev)[1]) / n_sun
+            result["shadow_grad_s_per_sun"] = dt_shg
+            result["shadow_grad_vs_forward"] = dt_shg / dt_sh
+        except Exception as exc:
+            result["shadow_grad_error"] = \
+                f"{type(exc).__name__}: {exc}"[:200]
 
     if args.cpu_baseline:
         # Measured CPU baseline 1: the native multithreaded ray-marcher

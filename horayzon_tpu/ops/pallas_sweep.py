@@ -53,6 +53,27 @@ ID_NONE = 1 << 30
 #: "one_read" (d1 pairs reuse the first read).
 _ABLATE = frozenset()
 
+#: EXPERIMENT knob (tools/ablate_kernel.py --bf16-mip): store mip levels
+#: >= 1 in bfloat16 rounded toward +inf — the conservative upper-bound
+#: property of the max-mip survives (values only move up, by <= 1 bf16
+#: ulp), halving the far-field window DMA and slab-read traffic that the
+#: measured roofline identifies as the binding resource.  The <= 1-ulp
+#: upward slack (~relief/256) is charged to the hori_acc budget.  See
+#: BASELINE.md round-5 for the measured keep/reject verdict.
+_MIP_BF16 = False
+
+
+def _round_up_bf16(x):
+    """Cast f32 -> bf16 rounding toward +inf (conservative for maxima):
+    nearest-even cast, then bump one ulp wherever the cast landed low."""
+    y = x.astype(jnp.bfloat16)
+    low = y.astype(jnp.float32) < x
+    bits = jax.lax.bitcast_convert_type(y, jnp.uint16)
+    up = jnp.where(bits & 0x8000 > 0, bits - 1, bits + 1)  # +1 ulp
+    y_up = jax.lax.bitcast_convert_type(up.astype(jnp.uint16),
+                                        jnp.bfloat16)
+    return jnp.where(low, y_up, y)
+
 
 def _round_up(x, m):
     return ((x + m - 1) // m) * m
@@ -67,7 +88,8 @@ def _pool8(padded, levels_meta):
         psz0, psz1 = levels_meta[p][4], levels_meta[p][5]
         h8 = _round_up(z_l.shape[0], 8)
         w8 = _round_up(z_l.shape[1], 8)
-        zp = jnp.pad(z_l, ((0, h8 - z_l.shape[0]), (0, w8 - z_l.shape[1])),
+        zp = jnp.pad(z_l.astype(jnp.float32),
+                     ((0, h8 - z_l.shape[0]), (0, w8 - z_l.shape[1])),
                      constant_values=_mip.PAD_VALUE)
         pw = lax.reduce_window(zp, jnp.float32(_mip.PAD_VALUE), lax.max,
                                (8, 8), (8, 8), "VALID")
@@ -795,13 +817,18 @@ def _kernel(tmap_ref, soff_ref, z_org_ref, z_inner_ref, *refs, levels_meta,
                 ia = pl.multiple_of((start_i // 8) * 8, 8)
                 ja = pl.multiple_of((start_j // 128) * 128, 128)
                 slab = win_refs[p][pl.ds(ia, r8), pl.ds(ja, c128)]
+                if slab.dtype != jnp.float32:
+                    # bf16 experiment: halve the HBM DMA + VMEM load
+                    # traffic; Mosaic's dynamic rotate needs f32, so
+                    # upcast right after the load
+                    slab = slab.astype(jnp.float32)
                 slab = _roll_neg(slab, start_j - ja, 1)[:, :sz1]
                 # fused row upsample + alignment:
                 #   rows[y, :] = slab[(start_i - ia) + (y + al_i)//k, :]
                 yy = jax.lax.broadcasted_iota(jnp.int32, (t0, r8), 0)
                 cc = jax.lax.broadcasted_iota(jnp.int32, (t0, r8), 1)
                 r_op = (lax.div(yy + al_i, kpow) + (start_i - ia)
-                        == cc).astype(jnp.float32)
+                        == cc).astype(slab.dtype)
                 rows = jnp.dot(r_op, slab,
                                preferred_element_type=jnp.float32)
                 up = jnp.dot(rows, s_op,
@@ -874,13 +901,15 @@ def _kernel(tmap_ref, soff_ref, z_org_ref, z_inner_ref, *refs, levels_meta,
                         ia = pl.multiple_of((q0_i // 8) * 8, 8)
                         ja = pl.multiple_of((q0_j // 128) * 128, 128)
                         slab = win_refs[p][pl.ds(ia, sg0), pl.ds(ja, sg1)]
+                        if slab.dtype != jnp.float32:
+                            slab = slab.astype(jnp.float32)
                         slab = _roll_neg(slab, q0_j - ja, 1)
                         yy = jax.lax.broadcasted_iota(
                             jnp.int32, (u0r, sg0), 0)
                         cc = jax.lax.broadcasted_iota(
                             jnp.int32, (u0r, sg0), 1)
                         r_opg = (lax.div(yy, kpow) + (q0_i - ia)
-                                 == cc).astype(jnp.float32)
+                                 == cc).astype(slab.dtype)
                         rows = jnp.dot(r_opg, slab,
                                        preferred_element_type=jnp.float32)
                         if "no_strip_mm2" in _ABLATE:
@@ -1033,18 +1062,20 @@ def _build_metas(schedule, t0, t1, step):
     return _metas_for_tile(schedule.pads, phases_meta, t0, t1)
 
 
-def _vmem_limit(levels_meta, t0, t1, a_chunk, n_tensors=4):
+def _vmem_limit(levels_meta, t0, t1, a_chunk, n_tensors=4, n_out=1):
     """Scoped-VMEM budget for the kernel: window + pooled scratch, the
     double-buffered in/out blocks, plus ~4 MiB headroom for roll slabs and
     fused temporaries.  The compiler's 16 MiB default rejects deep-schedule
     cases (the 2 m workflow has 11 mip levels, each with a ~460-cell
     marching halo); v5e/v5p physical VMEM is 128 MiB, so sizing the limit
-    from the real footprint is safe."""
+    from the real footprint is safe.  ``n_out``: number of
+    (a_chunk, t0, t1) output blocks — 3 on the argmax-emitting grad path
+    (value + winner ids + stationary denominators)."""
     scratch = sum(m[2] * m[3] + m[4] * m[5] for m in levels_meta) * 4
     strip = _strip_scratch_shape(levels_meta, (t0, t1))
     if strip is not None:
         scratch += strip[0] * strip[1] * 4
-    blocks = 2 * (n_tensors * t0 * t1 + a_chunk * t0 * t1) * 4
+    blocks = 2 * (n_tensors * t0 * t1 + n_out * a_chunk * t0 * t1) * 4
     # Headroom for roll slabs + fused temporaries: the dense-read slab is
     # (t0+16, t1+256) f32 with several live copies during the selects, so
     # the margin must scale with the tile (6 MiB flat rejected t0=256)
@@ -1317,6 +1348,9 @@ def _padded_levels(z_outer, pads):
     2x2 max-pools; the 8x8 pooled arrays feed only value-exact skip
     decisions and carry no gradient)."""
     levels = _mip.build_pyramid(z_outer, len(pads))
+    if _MIP_BF16:
+        levels = [levels[0]] + [_round_up_bf16(z_l)
+                                for z_l in levels[1:]]
     lo_e, hi_r, hi_c = LEVEL_PAD_EXTRA
     return [jnp.pad(
         z_l, ((pads[lvl] + lo_e, pads[lvl] + hi_r),
@@ -1445,7 +1479,8 @@ def pallas_forward_fn(z_outer, tilt_ramp, tile_map, shard_off, *,
                  for _ in range(2 * len(levels_meta))]
 
     scratch_shapes = (
-        [pltpu.VMEM((m[2], m[3]), jnp.float32) for m in levels_meta]
+        [pltpu.VMEM((m[2], m[3]), padded[p].dtype)
+         for p, m in enumerate(levels_meta)]
         + [pltpu.VMEM((m[4], m[5]), jnp.float32) for m in levels_meta]
         + [pltpu.SMEM((len(levels_meta) + 1,), jnp.float32),
            pltpu.SemaphoreType.DMA((2 * len(levels_meta),))])
@@ -1479,8 +1514,8 @@ def pallas_forward_fn(z_outer, tilt_ramp, tile_map, shard_off, *,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_vmem_limit(
                 levels_meta, t0, t1, a_chunk,
-                n_tensors=2 + len(mask_args) + 2 * len(ramp_args)
-                + (2 if emit_argmax else 0))),
+                n_tensors=2 + len(mask_args) + 2 * len(ramp_args),
+                n_out=3 if emit_argmax else 1)),
         interpret=interpret,
     )(tile_map, shard_off, z_org, z_inner, *mask_args, jnp.asarray(trig),
       *ramp_args, *padded, *pooled)
@@ -2784,7 +2819,8 @@ def shadow_forward_fn(z_outer, z_org_r, z_inner_r, sun_table, tile_map,
          for _ in range(2 * len(levels_meta))]
 
     scratch_shapes = (
-        [pltpu.VMEM((m[2], m[3]), jnp.float32) for m in levels_meta]
+        [pltpu.VMEM((m[2], m[3]), padded[p].dtype)
+         for p, m in enumerate(levels_meta)]
         + [pltpu.VMEM((m[4], m[5]), jnp.float32) for m in levels_meta]
         + [pltpu.SMEM((len(levels_meta) + 1,), jnp.float32),
            pltpu.SemaphoreType.DMA((2 * len(levels_meta),))])
@@ -2818,7 +2854,7 @@ def shadow_forward_fn(z_outer, z_org_r, z_inner_r, sun_table, tile_map,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_vmem_limit(
                 levels_meta, t0, t1, t_chunk,
-                n_tensors=4 + (2 if emit_argmax else 0))),
+                n_out=3 if emit_argmax else 1)),
         interpret=interpret,
     )(tile_map, shard_off, z_org_r, z_inner_r, sun_table, *padded, *pooled)
 

@@ -238,3 +238,159 @@ def test_curved_tilt_ramp_at_reference_scale():
     assert dev_deg.max() < 0.12, f"max deviation {dev_deg.max():.4f} deg"
     assert np.percentile(dev_deg, 99) < 0.05, (
         f"p99 deviation {np.percentile(dev_deg, 99):.4f} deg")
+
+
+def test_backward_replay_bit_equal_on_chip():
+    """Winner-replay gradients are deterministic on real hardware: two
+    backward iterations produce bit-equal cotangents for both the horizon
+    replay (argmax forward + replay kernel) and the shadow replay
+    (round-4/5 kernels; CPU-tier equality is asserted in interpret mode,
+    this pins the Mosaic-compiled versions)."""
+    _require_tpu()
+    import jax.numpy as jnp
+
+    from horayzon_tpu.ops import pallas_sweep, sweep
+
+    dx, dist, acc = 25.0, 10000.0, 0.25
+    inner, halo = 256, 416
+    n = inner + 2 * halo
+    z = jnp.asarray(_bump_terrain(n, seed=11))
+    kw = dict(dx=dx, dy=-dx, offset=(halo, halo),
+              inner_shape=(inner, inner), azim_num=8, dist_search=dist,
+              hori_acc=acc, tile=(128, 256))
+
+    def loss(zz):
+        return jnp.mean(pallas_sweep.horizon_sweep_pallas(zz, **kw) ** 2)
+
+    grad = jax.jit(jax.grad(loss))
+    g1 = np.asarray(grad(z))
+    g2 = np.asarray(grad(z))
+    assert np.isfinite(g1).all() and np.abs(g1).max() > 0.0
+    np.testing.assert_array_equal(g1, g2)
+
+    # shadow replay: metric-sum gradient, two iterations bit-equal
+    diag = float(np.hypot(n * dx, n * dx))
+    sched = sweep.build_schedule(dx, diag, sweep.default_rel_err(acc))
+    cx = 0.5 * (n - 1) * dx
+    cy = -0.5 * (n - 1) * dx
+    suns = np.stack([[cx + 3e5, cy + 1e5, 2.2e4],
+                     [cx - 2e5, cy - 2e5, 1.2e4]]).astype(np.float32)
+    table, _ = pallas_sweep.shadow_sun_table(suns, (cx, cy), dx, -dx)
+
+    def loss_sh(zz):
+        z_i = jax.lax.dynamic_slice(zz, (halo, halo), (inner, inner))
+        z_o = z_i + 0.05
+        met = pallas_sweep.shadow_metric_pallas_diff(
+            zz, z_o, z_i, table, schedule=sched, offset=(halo, halo),
+            inner_shape=(inner, inner), dx=dx, dy=-dx,
+            grid_origin=(0.0, 0.0), tile=(128, 256))
+        return jnp.mean(jax.nn.sigmoid(met / 5.0))
+
+    grad_sh = jax.jit(jax.grad(loss_sh))
+    s1 = np.asarray(grad_sh(z))
+    s2 = np.asarray(grad_sh(z))
+    assert np.isfinite(s1).all() and np.abs(s1).max() > 0.0
+    np.testing.assert_array_equal(s1, s2)
+
+
+def test_masked_vs_dense_unmasked_equal_on_chip():
+    """Cost-model masked tiling at a REAL tile shape: unmasked cells are
+    bit-equal to the dense run (tile re-basing, compacted tile maps and
+    the mask-aware accumulator init are all value-exact on hardware)."""
+    _require_tpu()
+    import jax.numpy as jnp
+
+    from horayzon_tpu import horizon as _hz
+    from horayzon_tpu.ops import pallas_sweep
+
+    dx, dist, acc = 25.0, 10000.0, 0.25
+    inner, halo = 512, 448
+    n = inner + 2 * halo
+    z = jnp.asarray(_bump_terrain(n, seed=13))
+    yy, xx = np.mgrid[0:inner, 0:inner]
+    r_disc = np.sqrt(0.2 * inner * inner / np.pi)
+    mask = (((yy - inner * 0.45) ** 2 + (xx - inner * 0.55) ** 2)
+            <= r_disc ** 2).astype(np.uint8)
+    choice = _hz._masked_tile_choice((n, n), (halo, halo),
+                                     (inner, inner), mask)
+    assert choice is not None
+    (br0, bc0), (p0, p1), m_tile, use_mask = choice
+    assert use_mask and (p0, p1) != (inner, inner)
+    mask_pad = np.zeros((p0, p1), dtype=np.uint8)
+    sub = mask[br0:, bc0:]
+    mask_pad[:sub.shape[0], :sub.shape[1]] = sub[:p0, :p1]
+    kw = dict(dx=dx, dy=-dx, dist_search=dist, hori_acc=acc, azim_num=8)
+    dense = np.asarray(pallas_sweep.horizon_sweep_pallas(
+        z, offset=(halo, halo), inner_shape=(inner, inner),
+        tile=(128, 512), **kw))
+    masked = np.asarray(pallas_sweep.horizon_sweep_pallas(
+        z, offset=(halo + br0, halo + bc0), inner_shape=(p0, p1),
+        tile=m_tile, mask=mask_pad, **kw))
+    sel = mask_pad[:min(p0, inner - br0), :min(p1, inner - bc0)] == 1
+    m_blk = masked[:min(p0, inner - br0), :min(p1, inner - bc0)][sel]
+    d_blk = dense[br0:br0 + min(p0, inner - br0),
+                  bc0:bc0 + min(p1, inner - bc0)][sel]
+    np.testing.assert_array_equal(m_blk, d_blk)
+
+
+def test_shadow_sign_exact_skips_on_chip():
+    """Sign-exact shadow skips (Terrain's exact_metric=False mode) on a
+    LOW-sun track, where the 'no candidate can be positive' and 'every
+    cell already occluded' arms actually fire: occlusion signs must be
+    identical to the magnitude-exact mode."""
+    _require_tpu()
+    import jax.numpy as jnp
+
+    from horayzon_tpu.ops import pallas_sweep, sweep
+
+    dx, acc = 25.0, 0.25
+    inner, halo = 512, 448
+    n = inner + 2 * halo
+    z = jnp.asarray(_bump_terrain(n, seed=17))
+    diag = float(np.hypot(n * dx, n * dx))
+    sched = sweep.build_schedule(dx, diag, sweep.default_rel_err(acc))
+    cx = 0.5 * (n - 1) * dx
+    cy = -0.5 * (n - 1) * dx
+    tt = np.linspace(0.2, 2.6, 6)
+    # sun elevation ~1-3 deg: long grazing shadows
+    suns = np.stack([cx + 3.0e5 * np.cos(tt), cy + 3.0e5 * np.sin(tt),
+                     0.6e4 + 0.4e4 * np.sin(3 * tt)], axis=-1) \
+        .astype(np.float32)
+    table, _ = pallas_sweep.shadow_sun_table(suns, (cx, cy), dx, -dx)
+    z_in = z[halo:halo + inner, halo:halo + inner]
+    z_org = z_in + 0.05
+    kw = dict(schedule=sched, offset=(halo, halo),
+              inner_shape=(inner, inner), dx=dx, dy=-dx,
+              grid_origin=(0.0, 0.0), tile=(128, 512))
+    m_exact = np.asarray(pallas_sweep.shadow_metric_pallas(
+        z, z_org, z_in, table, exact_metric=True, **kw))
+    m_sign = np.asarray(pallas_sweep.shadow_metric_pallas(
+        z, z_org, z_in, table, exact_metric=False, **kw))
+    occ_e = m_exact > 0.0
+    occ_s = m_sign > 0.0
+    np.testing.assert_array_equal(occ_s, occ_e)
+    # the track must exercise both classes
+    assert 0.05 < occ_e.mean() < 0.95
+
+
+def test_azim_padding_equality_on_chip():
+    """plan_azim pads awkward azimuth counts (359 is prime) up to the
+    kernel's chunk budget; the padded rows are computed and discarded.
+    Values must be bit-equal to the unpadded a_chunk=1 computation."""
+    _require_tpu()
+    import jax.numpy as jnp
+
+    from horayzon_tpu.ops import pallas_sweep
+
+    dx, dist, acc = 25.0, 5000.0, 0.25
+    inner, halo = 128, 216
+    n = inner + 2 * halo
+    z = jnp.asarray(_bump_terrain(n, seed=19))
+    kw = dict(dx=dx, dy=-dx, offset=(halo, halo),
+              inner_shape=(inner, inner), azim_num=359,
+              dist_search=dist, hori_acc=acc, tile=(128, 128))
+    padded = np.asarray(pallas_sweep.horizon_sweep_pallas(z, **kw))
+    unpadded = np.asarray(pallas_sweep.horizon_sweep_pallas(
+        z, a_chunk=1, **kw))
+    assert padded.shape == (inner, inner, 359)
+    np.testing.assert_array_equal(padded, unpadded)

@@ -48,6 +48,9 @@ def main():
                          "THIS device and cache it for "
                          "horizon._masked_tile_choice / "
                          "_pallas_padded_shape (one-command autotune)")
+    ap.add_argument("--bf16-mip", action="store_true",
+                    help="experiment: wall time + accuracy of bf16 "
+                         "(round-up) mip levels vs f32 at the bench shape")
     args = ap.parse_args()
 
     import jax
@@ -62,6 +65,8 @@ def main():
 
     if args.tile_sweep:
         return tile_sweep(args)
+    if args.bf16_mip:
+        return bf16_mip_experiment(args, z_dev, tile)
 
     sched = sweep.build_schedule(args.dx, args.dist * 1000.0,
                                  sweep.default_rel_err(0.25))
@@ -189,6 +194,52 @@ def tile_sweep(args):
     with open(path, "w") as f:
         json.dump(cache, f, indent=1, sort_keys=True)
     print(f"wrote {path} [{kind}]")
+
+
+def bf16_mip_experiment(args, z_dev, tile):
+    """Measure pallas_sweep._MIP_BF16 (bf16 round-up mip levels): wall
+    time and horizon deviation vs the f32 kernel at the bench shape.
+    The deviation is one-sided (bf16 levels only round UP -> horizons can
+    only rise) and bounded by ~relief/256 at the mip sample distance;
+    keep/reject verdict goes to BASELINE.md."""
+    import jax
+    import jax.numpy as jnp
+    from horayzon_tpu.ops import pallas_sweep
+
+    in0 = in1 = args.inner
+    kw = dict(dx=args.dx, dy=-args.dx, offset=(args.halo, args.halo),
+              inner_shape=(in0, in1), azim_num=args.azim,
+              dist_search=args.dist * 1000.0, hori_acc=0.25, tile=tile,
+              a_chunk=args.a_chunk or None)
+
+    def run():
+        return pallas_sweep.horizon_sweep_pallas(z_dev, **kw)
+
+    def timed():
+        float(jnp.mean(run()))
+        ts = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            acc = sum(jnp.mean(run()) for _ in range(args.iters))
+            float(acc)
+            ts.append((time.perf_counter() - t0) / args.iters)
+        return min(ts)
+
+    results = {}
+    for flag in (False, True):
+        pallas_sweep._MIP_BF16 = flag
+        jax.clear_caches()
+        dt = timed()
+        h = run()
+        results[flag] = (dt, h)
+        print(f"_MIP_BF16={flag}: {dt:.4f} s")
+    pallas_sweep._MIP_BF16 = False
+    jax.clear_caches()
+    d = jnp.rad2deg(results[True][1] - results[False][1])
+    print(f"deviation bf16-f32 [deg]: max {float(jnp.max(d)):.4f} "
+          f"min {float(jnp.min(d)):.4f} "
+          f"mean|.| {float(jnp.mean(jnp.abs(d))):.5f}")
+    print(f"speed: {results[False][0] / results[True][0]:.3f}x")
 
 
 def _t(run):
