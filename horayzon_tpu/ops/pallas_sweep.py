@@ -440,13 +440,17 @@ def _kernel(tmap_ref, soff_ref, z_org_ref, z_inner_ref, *refs, levels_meta,
                 # Grad path: record D = s_start + t* (t* = -d/(2a)) so
                 # the backward's envelope partials are closed-form in
                 # q*t* with no height re-reads (same polynomials as the
-                # horizon mode, without the 1/D ratio chain).
-                a0, i0, x0 = acc
+                # horizon mode, without the 1/D ratio chain).  The
+                # divide is DEFERRED: the accumulator carries the
+                # winning (numerator, denominator) pair and one divide
+                # per (cell, azimuth) runs at emit time, instead of one
+                # per quad candidate (round-5 grad-overhead trim).
+                a0, i0, n0, d0 = acc
                 upd = cand > a0
-                d_raw = s_start - 0.5 * d / a_s
                 return (jnp.where(upd, cand, a0),
                         jnp.where(upd, cid, i0),
-                        jnp.where(upd, d_raw, x0))
+                        jnp.where(upd, 2.0 * a_s * s_start - d, n0),
+                        jnp.where(upd, 2.0 * a_s, d0))
             else:
                 c0 = h0 - z_org
                 u = (a_c * s_start - b_c) * s_start + c0
@@ -469,13 +473,15 @@ def _kernel(tmap_ref, soff_ref, z_org_ref, z_inner_ref, *refs, levels_meta,
             if not emit_argmax:
                 return jnp.maximum(acc, cand)
             # Grad path: also record the stationary denominator
-            # D = s_start + t* = g / a (one divide, grad path only) so
-            # the backward's envelope partials need NO height re-reads.
-            a0, i0, x0 = acc
+            # D = s_start + t* = g / a so the backward's envelope
+            # partials need NO height re-reads.  The divide is DEFERRED
+            # (see the shadow branch): carry the winning (g, a) pair and
+            # divide once per (cell, azimuth) at emit time — bit-equal
+            # to the per-candidate divide (identical operands).
+            a0, i0, n0, d0 = acc
             upd = cand > a0
-            d_raw = g / jnp.where(jnp.abs(a_c) > 1e-30, a_c, 1e-30)
             return (jnp.where(upd, cand, a0), jnp.where(upd, cid, i0),
-                    jnp.where(upd, d_raw, x0))
+                    jnp.where(upd, g, n0), jnp.where(upd, a_c, d0))
 
         def point_update(acc, he, s_end, cid=None):
             if shadow:
@@ -484,9 +490,10 @@ def _kernel(tmap_ref, soff_ref, z_org_ref, z_inner_ref, *refs, levels_meta,
                 cand = (he - z_org) * (1.0 / s_end)
             if not emit_argmax:
                 return jnp.maximum(acc, cand)
-            a0, i0, x0 = acc
+            a0, i0, n0, d0 = acc
             upd = cand > a0
-            return (jnp.where(upd, cand, a0), jnp.where(upd, cid, i0), x0)
+            return (jnp.where(upd, cand, a0), jnp.where(upd, cid, i0),
+                    n0, d0)
 
         inv_l0 = 1.0 / step
         inv_l1 = 0.5 / step
@@ -624,8 +631,10 @@ def _kernel(tmap_ref, soff_ref, z_org_ref, z_inner_ref, *refs, levels_meta,
         ones = z_org * 0.0 + 1.0
         if emit_argmax:
             # no-winner sentinel: larger than any candidate id, so range
-            # presence tests in the backward never match it
+            # presence tests in the backward never match it; the deferred
+            # aux divide starts at 1/1
             neg = (neg, jnp.full((t0, t1), ID_NONE, jnp.int32),
+                   jnp.full((t0, t1), 1.0, jnp.float32),
                    jnp.full((t0, t1), 1.0, jnp.float32))
         acc, h2, h1 = neg, z_inner, z_inner
 
@@ -999,9 +1008,10 @@ def _kernel(tmap_ref, soff_ref, z_org_ref, z_inner_ref, *refs, levels_meta,
                 acc = lax.cond(skip, lambda a: a, run_phase, acc)
 
         if emit_argmax:
-            acc, aid, aux = acc
+            acc, aid, nsel, dsel = acc
             idout_ref[k_local, :, :] = aid
-            auxout_ref[k_local, :, :] = aux
+            auxout_ref[k_local, :, :] = nsel / jnp.where(
+                jnp.abs(dsel) > 1e-30, dsel, 1e-30)
         if ramp_refs is not None:
             acc = acc + ux * ramp_refs[0][...] + uy * ramp_refs[1][...]
         # atan is applied outside the kernel (no Pallas TPU lowering);
@@ -2597,20 +2607,25 @@ _shadow_diff.defvjp(_shadow_diff_fwd, _shadow_diff_bwd)
 
 
 def _bwd_tile_for(inner_shape, tile):
-    """Backward kernel tile: smaller than the forward tile — per-azimuth
+    """Backward kernel tile: narrower than the forward tile — per-azimuth
     winner ids concentrate on few ridges, so smaller tiles turn more
     step-presence tests false (each active step pays the full scatter
-    machinery) and shrink the scatter slabs.  Must divide the padded
-    inner shape (the per-shard one under sharding)."""
+    machinery) and shrink the scatter slabs.  Round-5 sweep of the
+    read-free replay at the bench shape (one v5e chip, value_and_grad
+    total): (128,256) 313 ms, (256,128) 313, (128,128) 319, (256,256)
+    323, (64,256) 333, (128,512) 339, (64,128) 342, (64,512) 349 —
+    narrow LANES pay off (smaller scatter slabs), thin rows do not (the
+    round-4 (64,512) choice predated the read-free backward).  Must
+    divide the padded inner shape (the per-shard one under sharding)."""
     in0, in1 = inner_shape
     t0, t1 = tile
     bt0 = t0
-    for c in (64,):
-        if in0 % c == 0:
+    for c in (128, 64):
+        if in0 % c == 0 and c <= in0:
             bt0 = c
             break
     bt1 = t1
-    for c in (512, 256):
+    for c in (256, 512):
         if in1 % c == 0 and c <= t1:
             bt1 = c
             break
