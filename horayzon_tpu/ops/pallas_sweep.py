@@ -2369,7 +2369,8 @@ def shadow_backward_replay_fn(z_outer, z_org_r, gmet, ids, aux, sun_table,
                               *, tile_map_static, levels_meta, phases_meta,
                               pads, tile, t_chunk, num_sun, offset,
                               inner_shape, dx, dy, step, dist, near_ex,
-                              grid_origin, interpret):
+                              grid_origin, interpret, shard_off=None,
+                              traced_assembly=False):
     """Winner-replay backward for the shadow clearance metric.
 
     ``gmet``/``ids``/``aux``: (num_sun, in0, in1) metric cotangents and
@@ -2384,7 +2385,12 @@ def shadow_backward_replay_fn(z_outer, z_org_r, gmet, ids, aux, sun_table,
     tmap_np = np.asarray(tile_map_static, dtype=np.int32).reshape(-1, 2)
     tile_map = jnp.asarray(tmap_np)
     padded = _padded_levels(z_outer, pads)
-    shard_off = jnp.zeros((4 + len(levels_meta),), jnp.int32)
+    if shard_off is None:
+        shard_off = jnp.zeros((4 + len(levels_meta),), jnp.int32)
+    elif shard_off.shape[0] < 4 + len(levels_meta):
+        shard_off = jnp.concatenate(
+            [shard_off, jnp.zeros((4 + len(levels_meta)
+                                   - shard_off.shape[0],), jnp.int32)])
 
     grid = (tile_map.shape[0], num_sun // t_chunk)
     kernel = functools.partial(
@@ -2441,13 +2447,15 @@ def shadow_backward_replay_fn(z_outer, z_org_r, gmet, ids, aux, sun_table,
     wcots = outs[:len(levels_meta)]
     zcot_tiles = outs[len(levels_meta)]
 
+    s_row = shard_off[0] if traced_assembly else 0
+    s_col = shard_off[1] if traced_assembly else 0
     level_cots = []
     for p, m in enumerate(levels_meta):
         k = 2 ** m[0]
         full = jnp.zeros(padded[p].shape, jnp.float32)
         for slot in range(tmap_np.shape[0]):
-            a_base = off0 + int(tmap_np[slot, 0]) * t0
-            b_base = off1 + int(tmap_np[slot, 1]) * t1
+            a_base = off0 + s_row + int(tmap_np[slot, 0]) * t0
+            b_base = off1 + s_col + int(tmap_np[slot, 1]) * t1
             src_i_al = ((a_base // k + 2) // 8) * 8
             src_j_al = ((b_base // k + 2) // 128) * 128
             full = lax.dynamic_update_slice(
@@ -2482,7 +2490,8 @@ _shadow_bwd_core = functools.partial(
     static_argnames=("tile_map_static", "levels_meta", "phases_meta",
                      "pads", "tile", "t_chunk", "num_sun", "offset",
                      "inner_shape", "dx", "dy", "step", "dist", "near_ex",
-                     "grid_origin", "interpret"))(shadow_backward_replay_fn)
+                     "grid_origin", "interpret",
+                     "traced_assembly"))(shadow_backward_replay_fn)
 
 
 #: Hashable static config of one differentiable Pallas shadow-metric

@@ -656,6 +656,14 @@ def horizon_sweep_multires_pallas_sharded(
     return _mr_hz_sharded(mesh, cfg, z_fine, z_coarse)
 
 
+#: Hashable static config of one sharded Pallas shadow invocation (the
+#: custom-VJP nondiff argument; see :func:`_sh_sharded`).
+_ShShCfg = collections.namedtuple("_ShShCfg", [
+    "levels_meta", "phases_meta", "pads", "tile", "t_chunk", "num_sun",
+    "t_pad", "rows", "offset", "inner_shape", "dx", "dy", "step", "dist",
+    "near_ex", "n_safe", "grid_origin", "interpret"])
+
+
 def shadow_metric_pallas_sharded(mesh, z_outer, z_org_r, z_inner_r,
                                  sun_table, *, schedule, offset,
                                  inner_shape, dx, dy, grid_origin,
@@ -664,9 +672,13 @@ def shadow_metric_pallas_sharded(mesh, z_outer, z_org_r, z_inner_r,
     """Multi-device fused-Pallas shadow occlusion metric.
 
     Same contract as :func:`horayzon_tpu.ops.pallas_sweep.
-    shadow_metric_pallas`: rows sharded over the mesh's ``tile`` axis, the
-    whole sun batch computed per shard (the azim axis, if present, is
-    unused).  Mirrors reference shadow_comp.cpp:390-489 (TBB rows)."""
+    shadow_metric_pallas` with ``exact_metric=True``: rows sharded over
+    the mesh's ``tile`` axis, the whole sun batch computed per shard (the
+    azim axis, if present, carries replicated work).  Mirrors reference
+    shadow_comp.cpp:390-489 (TBB rows).  Differentiable w.r.t.
+    ``z_outer`` and ``z_org_r`` via the shadow winner-replay custom VJP
+    (per-shard replay; the replicated heightfield's cotangent psums over
+    the tile axis)."""
     n_tile = mesh.shape[_mesh.AXIS_TILE]
     in0, in1 = inner_shape
     if in0 % n_tile != 0:
@@ -697,16 +709,34 @@ def shadow_metric_pallas_sharded(mesh, z_outer, z_org_r, z_inner_r,
     halo = min(off0, off1, h_out - off0 - in0, w_out - off1 - in1)
     near_ex = (schedule.phases[0].num
                if schedule.phases[0].kind == "d2" else 0)
-    statics = dict(
+    cfg = _ShShCfg(
         levels_meta=tuple(levels_meta), phases_meta=tuple(phases_meta),
         pads=schedule.pads, tile=(t0, t1), t_chunk=t_chunk,
-        offset=(int(off0), int(off1)), inner_shape=(rows, in1),
+        num_sun=int(num_sun), t_pad=int(t_pad), rows=rows,
+        offset=(int(off0), int(off1)), inner_shape=(int(in0), int(in1)),
         dx=float(dx), dy=float(dy), step=float(schedule.step),
         dist=float(schedule.dist), near_ex=near_ex,
         n_safe=max(0, halo - 2),
         grid_origin=(float(grid_origin[0]), float(grid_origin[1])),
-        interpret=interpret)
-    tmap = jnp.asarray(_pallas.tile_schedule((rows, in1), (t0, t1)))
+        interpret=bool(interpret))
+    return _sh_sharded(mesh, cfg, z_outer,
+                       jnp.asarray(z_org_r, jnp.float32),
+                       jnp.asarray(z_inner_r, jnp.float32),
+                       jnp.asarray(sun_table))
+
+
+def _shsh_fwd_value(mesh, cfg, z_outer, z_org_r, z_inner_r, sun_table,
+                    emit_argmax=False):
+    in0, in1 = cfg.inner_shape
+    rows = cfg.rows
+    statics = dict(
+        levels_meta=cfg.levels_meta, phases_meta=cfg.phases_meta,
+        pads=cfg.pads, tile=cfg.tile, t_chunk=cfg.t_chunk,
+        offset=cfg.offset, inner_shape=(rows, in1), dx=cfg.dx, dy=cfg.dy,
+        step=cfg.step, dist=cfg.dist, near_ex=cfg.near_ex,
+        n_safe=cfg.n_safe, grid_origin=cfg.grid_origin,
+        interpret=cfg.interpret, emit_argmax=emit_argmax)
+    tmap = jnp.asarray(_pallas.tile_schedule((rows, in1), cfg.tile))
 
     def shard_fn(z_rep, z_org_sh, z_inner_sh, table_rep, tmap_rep):
         row0 = jax.lax.axis_index(_mesh.AXIS_TILE) * rows
@@ -716,17 +746,74 @@ def shadow_metric_pallas_sharded(mesh, z_outer, z_org_r, z_inner_r,
             z_rep, z_org_sh, z_inner_sh, table_rep, tmap_rep, soff,
             **statics)
 
+    out_spec = P(None, _mesh.AXIS_TILE, None)
     fn = shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P(None, None), P(_mesh.AXIS_TILE, None),
                   P(_mesh.AXIS_TILE, None), P(None, None), P(None, None)),
-        out_specs=P(None, _mesh.AXIS_TILE, None),
+        out_specs=(out_spec, out_spec, out_spec) if emit_argmax
+        else out_spec,
         check_vma=False)
-    out = jax.jit(fn)(
-        z_outer, jnp.asarray(z_org_r, jnp.float32),
-        jnp.asarray(z_inner_r, jnp.float32), jnp.asarray(sun_table),
-        tmap)
-    return out[:num_sun]
+    return jax.jit(fn)(z_outer, z_org_r, z_inner_r, sun_table, tmap)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _sh_sharded(mesh, cfg, z_outer, z_org_r, z_inner_r, sun_table):
+    return _shsh_fwd_value(mesh, cfg, z_outer, z_org_r, z_inner_r,
+                           sun_table)[:cfg.num_sun]
+
+
+def _shsh_fwd(mesh, cfg, z_outer, z_org_r, z_inner_r, sun_table):
+    met, ids, aux = _shsh_fwd_value(mesh, cfg, z_outer, z_org_r,
+                                    z_inner_r, sun_table,
+                                    emit_argmax=True)
+    return met[:cfg.num_sun], (z_outer, z_org_r, z_inner_r, sun_table,
+                               ids, aux)
+
+
+def _shsh_bwd(mesh, cfg, residuals, g):
+    z_outer, z_org_r, z_inner_r, sun_table, ids, aux = residuals
+    if cfg.t_pad > cfg.num_sun:
+        g = jnp.pad(g, ((0, cfg.t_pad - cfg.num_sun), (0, 0), (0, 0)))
+    in0, in1 = cfg.inner_shape
+    rows = cfg.rows
+    bt0, bt1 = _pallas._bwd_tile_for((rows, in1), cfg.tile)
+    lm_b, pm_b = _pallas._metas_for_tile(cfg.pads, cfg.phases_meta,
+                                         bt0, bt1)
+    tmap_b = tuple(map(tuple, _pallas.tile_schedule(
+        (rows, in1), (bt0, bt1)).tolist()))
+    statics = dict(
+        tile_map_static=tmap_b, levels_meta=tuple(lm_b),
+        phases_meta=tuple(pm_b), pads=cfg.pads, tile=(bt0, bt1),
+        t_chunk=cfg.t_chunk, num_sun=cfg.t_pad, offset=cfg.offset,
+        inner_shape=(rows, in1), dx=cfg.dx, dy=cfg.dy, step=cfg.step,
+        dist=cfg.dist, near_ex=cfg.near_ex, grid_origin=cfg.grid_origin,
+        interpret=cfg.interpret, traced_assembly=True)
+
+    def bwd_shard_fn(z_rep, zorg_sh, g_sh, ids_sh, aux_sh, table_rep):
+        row0 = jax.lax.axis_index(_mesh.AXIS_TILE) * rows
+        zero = jnp.int32(0)
+        soff = jnp.stack([row0, zero, zero, zero]).astype(jnp.int32)
+        dz, dzorg = _pallas.shadow_backward_replay_fn(
+            z_rep, zorg_sh, g_sh, ids_sh, aux_sh, table_rep,
+            shard_off=soff, **statics)
+        # the sun batch is replicated over the azim axis (identical work
+        # per azim shard), so only the tile axis sums contributions
+        return jax.lax.psum(dz, (_mesh.AXIS_TILE,)), dzorg
+
+    sh_spec = P(None, _mesh.AXIS_TILE, None)
+    fn = shard_map(
+        bwd_shard_fn, mesh=mesh,
+        in_specs=(P(None, None), P(_mesh.AXIS_TILE, None), sh_spec,
+                  sh_spec, sh_spec, P(None, None)),
+        out_specs=(P(None, None), P(_mesh.AXIS_TILE, None)),
+        check_vma=False)
+    dz, dzorg = jax.jit(fn)(z_outer, z_org_r, g, ids, aux, sun_table)
+    return (dz, dzorg, jnp.zeros_like(z_inner_r),
+            jnp.zeros_like(sun_table))
+
+
+_sh_sharded.defvjp(_shsh_fwd, _shsh_bwd)
 
 
 def horizon_sweep_sharded(mesh, z_outer, *, dx, dy, offset, inner_shape,

@@ -40,3 +40,22 @@ def test_planar_pipeline_with_mask():
     mask[:5] = 0
     out = pipe.run(mask=mask)
     assert np.allclose(out["hori"][:5], 0.0)
+
+
+def test_terrain_fit_gradient_example_smoke():
+    """The differentiable-workflow example runs end-to-end (few steps —
+    the full recovery assertions run at its default step count)."""
+    import os
+    import subprocess
+    import sys
+    import tempfile
+
+    path = os.path.join(os.path.dirname(__file__), "..", "examples",
+                        "horizon", "terrain_fit_gradient.py")
+    with tempfile.TemporaryDirectory() as td:
+        out = subprocess.run(
+            [sys.executable, path, "--steps", "4", "--out", td],
+            capture_output=True, text=True, timeout=560,
+            env={**os.environ, "JAX_PLATFORMS": "cpu"})
+        assert out.returncode == 0, out.stderr[-2000:]
+        assert "saved:" in out.stdout

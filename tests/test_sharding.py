@@ -342,3 +342,57 @@ def test_sharded_multires_pallas_gradients():
     np.testing.assert_allclose(np.asarray(gc_m), np.asarray(gc_s),
                                rtol=1e-5,
                                atol=1e-6 * float(jnp.abs(gc_s).max()))
+
+
+def test_sharded_shadow_pallas_gradients(terrain):
+    """Sharded shadow winner-replay VJP: gradients w.r.t. the replicated
+    heightfield AND the sharded ray-origin field equal the single-device
+    shadow replay gradients (sun batch replicated across azim shards, so
+    only the tile axis psums)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    import jax.numpy as jnp
+
+    from horayzon_tpu.ops import pallas_sweep
+    from horayzon_tpu.ops import sweep as _sweep
+
+    dx = 25.0
+    off = (16, 16)
+    inner = (32, 32)
+    n = terrain.shape[0]
+    cx = 0.5 * (n - 1) * dx
+    cy = -0.5 * (n - 1) * dx
+    suns = np.array([[cx + 2e5, cy + 1e5, 2e4],
+                     [cx - 1e5, cy - 2e5, 1.5e4],
+                     [cx + 5e4, cy - 2e5, 8e3]], dtype=np.float32)
+    diag = float(np.hypot(n * dx, n * dx))
+    sched = _sweep.build_schedule(dx, diag, _sweep.default_rel_err(0.25))
+    table, _ = pallas_sweep.shadow_sun_table(suns, (cx, cy), dx, -dx)
+    kw = dict(schedule=sched, offset=off, inner_shape=inner, dx=dx,
+              dy=-dx, grid_origin=(0.0, 0.0), t_chunk=2, interpret=True)
+    z = jnp.asarray(terrain)
+
+    def loss_single(zz, zorg):
+        z_i = jax.lax.dynamic_slice(zz, off, inner)
+        met = pallas_sweep.shadow_metric_pallas_diff(
+            zz, zorg, z_i, table, tile=(8, 32), **kw)
+        return jnp.mean(jax.nn.sigmoid(met / 5.0))
+
+    mesh = pmesh.make_mesh(n_tile=4, n_azim=2)
+
+    def loss_sharded(zz, zorg):
+        z_i = jax.lax.dynamic_slice(zz, off, inner)
+        met = pshard.shadow_metric_pallas_sharded(
+            mesh, zz, zorg, z_i, table, tile=(8, 32), **kw)
+        return jnp.mean(jax.nn.sigmoid(met / 5.0))
+
+    zorg0 = jax.lax.dynamic_slice(z, off, inner) + 0.05
+    gz_s, go_s = jax.grad(loss_single, argnums=(0, 1))(z, zorg0)
+    gz_m, go_m = jax.grad(loss_sharded, argnums=(0, 1))(z, zorg0)
+    gmax = float(jnp.abs(gz_s).max())
+    assert gmax > 0.0
+    np.testing.assert_allclose(np.asarray(gz_m), np.asarray(gz_s),
+                               rtol=1e-5, atol=1e-6 * gmax)
+    np.testing.assert_allclose(np.asarray(go_m), np.asarray(go_s),
+                               rtol=1e-5,
+                               atol=1e-6 * float(jnp.abs(go_s).max()))
