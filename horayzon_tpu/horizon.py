@@ -722,6 +722,26 @@ def _curved_gridded(x, y, z, vec_norm, vec_north, offset_0, offset_1, azim,
     rin0 = i_hi - i_lo
     rin1 = j_hi - j_lo
 
+    # The fused kernel pads the inner lattice block to tile multiples to
+    # the right/down; when the lattice has no room there (the inner box
+    # hugs its south/east edge), shift the window start up/left instead —
+    # the box start is only a lower bound, so enlarging it keeps every
+    # read-back position inside and the kernel path available (previously
+    # such domains fell back to the slow XLA sweep).
+    if (engine == "pallas" or (engine == "auto" and _on_tpu())) \
+            and _pallas_padded_shape((hr, wr), (i_lo, j_lo),
+                                     (rin0, rin1)) is None:
+        def _up(x, m):
+            return ((x + m - 1) // m) * m
+        t0s = 128 if rin0 >= 128 else _up(rin0, 8)
+        t1s = 256 if rin1 >= 256 else _up(rin1, 128)
+        p0s, p1s = _up(rin0, t0s), _up(rin1, t1s)
+        if p0s <= hr and p1s <= wr:
+            i_lo = min(i_lo, hr - p0s)
+            j_lo = min(j_lo, wr - p1s)
+            i_hi, j_hi = i_lo + p0s, j_lo + p1s
+            rin0, rin1 = p0s, p1s
+
     # Basis vectors at the regular inner cells: interpolate the caller's
     # per-inner-cell fields through original index space.  (fi_src, fj_src)
     # of regular cells come from the planarisation's inverse mapping.

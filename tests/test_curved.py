@@ -313,3 +313,53 @@ def test_curved_masked_pallas_tiling(monkeypatch):
     assert d.max() < 1e-5, f"unmasked-cell max diff {d.max():.2e} rad"
     # masked cells carry the fill value
     assert (hori_masked[~sel] == -9.0).all()
+
+
+def test_curved_edge_box_shifts_into_pallas(monkeypatch):
+    """An inner domain hugging the lattice's south/east edge used to lose
+    the fused-kernel path (no room to pad right/down); the window start
+    now shifts up/left instead.  The kernel must actually run and agree
+    with the general-mode XLA sweep."""
+    from horayzon_tpu.ops import pallas_sweep
+
+    def elev_fn(lon, lat):
+        rng = np.random.default_rng(9)
+        e = np.zeros_like(lon)
+        for _ in range(6):
+            clon = rng.uniform(lon.min(), lon.max())
+            clat = rng.uniform(lat.min(), lat.max())
+            sig = rng.uniform(0.004, 0.015)
+            e += rng.uniform(100, 400) * np.exp(
+                -(((lon - clon) ** 2 + (lat - clat) ** 2)
+                  / (2 * sig ** 2)))
+        return e
+
+    s = _curved_setup(elev_fn, n=160, dlat=0.002)
+    n = 160
+    in0 = in1 = 40
+    off0 = off1 = n - in0 - 12       # inner block near the SE corner
+    in_sl = (slice(off0, off0 + in0), slice(off1, off1 + in1))
+    vert_grid = auxiliary.rearrange_pad_buffer(s["x"], s["y"], s["z"])
+
+    calls = []
+    orig = pallas_sweep.horizon_sweep_pallas
+
+    def patched(*a, **k):
+        k["interpret"] = True
+        calls.append(k.get("offset"))
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pallas_sweep, "horizon_sweep_pallas", patched)
+    kw = dict(dist_search=3.0, azim_num=4, verbose=False)
+    h_pal, _ = horizon.horizon_gridded(
+        vert_grid, n, n, s["vec_norm"][in_sl], s["vec_north"][in_sl],
+        off0, off1, engine="pallas", **kw)
+    assert calls, "fused kernel path not taken"
+    h_gen, _ = horizon.horizon_gridded(
+        vert_grid, n, n, s["vec_norm"][in_sl], s["vec_north"][in_sl],
+        off0, off1, engine="sweep", **kw)
+    d = np.rad2deg(np.abs(np.asarray(h_pal) - np.asarray(h_gen)))
+    # engine-difference budget at this coarse toy scale (midpoint vs
+    # trailing-window parabolas + tilt-ramp approximation)
+    assert d.max() < 0.5, f"max deviation {d.max():.4f} deg"
+    assert np.median(d) < 0.01

@@ -326,3 +326,53 @@ def test_tile_cost_fallback_full_menu_and_hint(monkeypatch, capsys):
     # printed once only
     hz._tile_cost_table()
     assert "tile-sweep" not in capsys.readouterr().out
+
+
+def test_horizon_gridded_band_plan_assembly(monkeypatch):
+    """horizon_gridded's multi-band masked branch: band outputs paste
+    into the inner frame, unmasked cells equal the dense run, everything
+    else gets hori_fill."""
+    import jax.numpy as jnp
+
+    from horayzon_tpu import horizon as hz
+    from horayzon_tpu.ops import pallas_sweep
+
+    from reference_impl import gaussian_bumps_terrain
+
+    z = gaussian_bumps_terrain(160, 160, seed=11, amp=300.0)
+    in0 = in1 = 96
+    off = 32
+    yy, xx = np.mgrid[0:in0, 0:in1]
+    mask = (np.abs(yy - xx) < 8).astype(np.uint8)
+
+    monkeypatch.setattr(hz, "_tile_cost_table",
+                        lambda: {(8, 64): 1.1, (16, 64): 1.0,
+                                 (32, 64): 0.95})
+    monkeypatch.setattr(hz, "_on_tpu", lambda: True)
+    orig = pallas_sweep.horizon_sweep_pallas
+    orig_bands = pallas_sweep.horizon_sweep_pallas_bands
+    monkeypatch.setattr(
+        pallas_sweep, "horizon_sweep_pallas",
+        lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+    band_calls = []
+
+    def bands_patched(*a, **k):
+        k["interpret"] = True
+        band_calls.append(len(k["bands"]))
+        return orig_bands(*a, **k)
+
+    monkeypatch.setattr(pallas_sweep, "horizon_sweep_pallas_bands",
+                        bands_patched)
+
+    vg = _vert_grid_planar(z)
+    vn, vnor = _default_vectors(in0, in1)
+    kw = dict(dist_search=0.7, azim_num=4, hori_acc=0.25, verbose=False,
+              hori_fill=-7.0)
+    h_dense, _ = horizon.horizon_gridded(vg, 160, 160, vn, vnor, off, off,
+                                         **kw)
+    h_masked, _ = horizon.horizon_gridded(vg, 160, 160, vn, vnor, off,
+                                          off, mask=mask, **kw)
+    assert band_calls and band_calls[0] >= 2, band_calls
+    sel = mask == 1
+    np.testing.assert_array_equal(h_masked[sel], h_dense[sel])
+    assert (h_masked[~sel] == -7.0).all()
