@@ -527,9 +527,13 @@ def horizon_gridded(
                 dist_search=dist_search * 1000.0, hori_acc=hori_acc,
                 elev_ang_low_lim=elev_ang_low_lim,
                 ray_org_elev=ray_org_elev, tile=tile, mask=mask_pad)
-            if blk0 == (0, 0):
+            if blk0 == (0, 0) and in0p >= inner_shape[0] \
+                    and in1p >= inner_shape[1]:
                 hori = hori_b[:inner_shape[0], :inner_shape[1]]
             else:
+                # The padded block may be smaller than the inner domain
+                # (bbox at the origin but tile padding short of full
+                # size), so always paste rather than slice.
                 # paste the bbox block into the full inner output; cells
                 # outside the block are masked and get hori_fill below
                 v0 = min(in0p, inner_shape[0] - br0)

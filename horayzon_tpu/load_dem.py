@@ -97,19 +97,27 @@ def srtm(file_dem, domain, engine="pillow"):
 _NASADEM_TILE_CELLS = 3600
 
 
-def _crop_centres(elevation, x, y, x_min, x_max, y_min, y_max):
-    """Crop a raster to the domain using cell-CENTRE comparisons (for
-    mosaics that carry centre coordinates only, e.g. the NASADEM NetCDF
-    tiles).  Keeps the centres inside the closed domain interval; the
-    domain must lie strictly inside the mosaic's centre extent.  Both axes
-    may be ascending or descending."""
+def _centre_slices(x, y, x_min, x_max, y_min, y_max):
+    """Index slices keeping the cell CENTRES inside the closed domain
+    interval (for mosaics that carry centre coordinates only, e.g. the
+    NASADEM NetCDF tiles).  The domain must lie strictly inside the
+    mosaic's centre extent; both axes may be ascending or descending."""
     if not (x.min() < x_min and x_max < x.max()
             and y.min() < y_min and y_max < y.max()):
         raise ValueError("Provided tile(s) does/do not cover domain")
     ix = np.flatnonzero((x >= x_min) & (x <= x_max))
     iy = np.flatnonzero((y >= y_min) & (y <= y_max))
-    sl_x = slice(ix[0], ix[-1] + 1)
-    sl_y = slice(iy[0], iy[-1] + 1)
+    if ix.size == 0 or iy.size == 0:
+        raise ValueError(
+            "domain interval contains no cell centre on the "
+            f"{'lon' if ix.size == 0 else 'lat'} axis — widen the domain "
+            "beyond one cell spacing")
+    return slice(ix[0], ix[-1] + 1), slice(iy[0], iy[-1] + 1)
+
+
+def _crop_centres(elevation, x, y, x_min, x_max, y_min, y_max):
+    """Crop a raster to the domain via :func:`_centre_slices`."""
+    sl_x, sl_y = _centre_slices(x, y, x_min, x_max, y_min, y_max)
     return elevation[sl_y, sl_x], x[sl_x], y[sl_y]
 
 
@@ -143,11 +151,18 @@ def nasadem(files_dem, domain):
             "NASADEM loading requires the optional dependency 'xarray' "
             "(with a NetCDF backend)") from exc
     with xr.open_mfdataset(files_dem, preprocess=preprocess) as ds:
-        elevation, lon, lat = _crop_centres(
-            ds["NASADEM_HGT"].values,
-            ds["lon"].values, ds["lat"].values,
+        lon_all = ds["lon"].values
+        lat_all = ds["lat"].values
+        sl_x, sl_y = _centre_slices(
+            lon_all, lat_all,
             domain["lon_min"], domain["lon_max"],
             domain["lat_min"], domain["lat_max"])
+        # Slice the lazy mosaic BEFORE reading values so only the cropped
+        # window is materialised (a large multi-tile mosaic read whole can
+        # be GBs while the domain needs a fraction of it).
+        elevation = ds["NASADEM_HGT"].isel(lat=sl_y, lon=sl_x).values
+        lon = lon_all[sl_x]
+        lat = lat_all[sl_y]
     print_dem_info(elevation)
     return lon, lat, elevation
 

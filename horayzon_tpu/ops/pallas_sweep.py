@@ -1253,6 +1253,7 @@ def horizon_sweep_pallas(z_outer, *, dx, dy, offset, inner_shape, azim_num,
 #: full static geometry including mask content hashes, so repeated calls
 #: with the same plan reuse one compilation).
 _BANDS_CACHE = {}
+_BANDS_CACHE_MAX = 32
 
 
 def horizon_sweep_pallas_bands(z_outer, *, dx, dy, offset, bands, azim_num,
@@ -1297,7 +1298,10 @@ def horizon_sweep_pallas_bands(z_outer, *, dx, dy, offset, bands, azim_num,
 
     key_parts = [z_outer.shape, float(dx), float(dy), offset,
                  int(azim_num), float(dist_search), float(hori_acc),
-                 float(ray_org_elev), bool(interpret)]
+                 float(ray_org_elev), bool(interpret), tile,
+                 float(elev_ang_low_lim), float(elev_ang_up_lim),
+                 None if rel_err is None else float(rel_err),
+                 int(max_level)]
     tmaps = []
     mask_args = []
     for blk0, shape, _t, mask in bands:
@@ -1340,6 +1344,11 @@ def horizon_sweep_pallas_bands(z_outer, *, dx, dy, offset, bands, azim_num,
                 outs.append(jnp.moveaxis(out, 0, -1))
             return tuple(outs)
 
+        while len(_BANDS_CACHE) >= _BANDS_CACHE_MAX:
+            # FIFO eviction: compiled band programs (plus their captured
+            # tile-map constants) are per-mask-content, so a long-running
+            # service sweeping many regions must not accumulate them.
+            _BANDS_CACHE.pop(next(iter(_BANDS_CACHE)))
         _BANDS_CACHE[key] = jax.jit(core)
     return list(_BANDS_CACHE[key](z_outer, mask_args))
 
@@ -2185,6 +2194,47 @@ def _bwd_kernel(tmap_ref, soff_ref, z_org_ref, g_ref, id_ref, aux_ref,
     lax.fori_loop(0, a_chunk, azim_loop, 0)
 
 
+def _overlap_add_level_cots(wcots, tmap_np, levels_meta, level_shapes,
+                            off0, off1, t0, t1, s_row, s_col, origs=None):
+    """Overlap-add per-tile window-cotangent blocks into full padded
+    level arrays (shared backward-replay host assembly).  The window
+    positions mirror the forward kernel's DMA source starts; ``origs``
+    carries per-level traced slice origins under sharded assembly."""
+    level_cots = []
+    for p, m in enumerate(levels_meta):
+        k = 2 ** m[0]
+        orig_p = origs[p] if origs is not None else 0
+        full = jnp.zeros(level_shapes[p], jnp.float32)
+        for slot in range(tmap_np.shape[0]):
+            a_base = off0 + s_row + int(tmap_np[slot, 0]) * t0
+            b_base = off1 + s_col + int(tmap_np[slot, 1]) * t1
+            src_i_al = ((a_base // k + 2 - orig_p) // 8) * 8
+            src_j_al = ((b_base // k + 2) // 128) * 128
+            full = lax.dynamic_update_slice(
+                full,
+                lax.dynamic_slice(
+                    full, (src_i_al, src_j_al), (m[2], m[3]))
+                + wcots[p][slot],
+                (src_i_al, src_j_al))
+        level_cots.append(full)
+    return level_cots
+
+
+def _overlap_add_inner_tiles(zcot_tiles, tmap_np, t0, t1, in0, in1):
+    """Overlap-add per-tile inner-block cotangents into an (in0, in1)
+    frame (shared backward-replay host assembly)."""
+    zcot_full = jnp.zeros((in0, in1), jnp.float32)
+    for slot in range(tmap_np.shape[0]):
+        r0 = int(tmap_np[slot, 0]) * t0
+        c0 = int(tmap_np[slot, 1]) * t1
+        zcot_full = lax.dynamic_update_slice(
+            zcot_full,
+            lax.dynamic_slice(zcot_full, (r0, c0), (t0, t1))
+            + zcot_tiles[slot],
+            (r0, c0))
+    return zcot_full
+
+
 def backward_replay_fn(z_outer, graw, ids, aux, shard_off, *,
                        tile_map_static, levels_meta, phases_meta, pads,
                        tile, a_chunk, a_num, a_den, offset, inner_shape,
@@ -2311,34 +2361,15 @@ def backward_replay_fn(z_outer, graw, ids, aux, shard_off, *,
     # fully static (shard_off is all-zero there).
     s_row = shard_off[0] if traced_assembly else 0
     s_col = shard_off[1] if traced_assembly else 0
-    level_cots = []
-    for p, m in enumerate(levels_meta):
-        k = 2 ** m[0]
-        orig_p = shard_off[4 + p] if traced_assembly else 0
-        full = jnp.zeros(level_shapes[p], jnp.float32)
-        for slot in range(tmap_np.shape[0]):
-            a_base = off0 + s_row + int(tmap_np[slot, 0]) * t0
-            b_base = off1 + s_col + int(tmap_np[slot, 1]) * t1
-            src_i_al = ((a_base // k + 2 - orig_p) // 8) * 8
-            src_j_al = ((b_base // k + 2) // 128) * 128
-            full = lax.dynamic_update_slice(
-                full,
-                lax.dynamic_slice(
-                    full, (src_i_al, src_j_al), (m[2], m[3]))
-                + wcots[p][slot],
-                (src_i_al, src_j_al))
-        level_cots.append(full)
+    origs = ([shard_off[4 + p] for p in range(len(levels_meta))]
+             if traced_assembly else None)
+    level_cots = _overlap_add_level_cots(
+        wcots, tmap_np, levels_meta, level_shapes, off0, off1, t0, t1,
+        s_row, s_col, origs)
 
     # z_org cotangent over the inner block: z_org = z[inner slice] + const
-    zcot_full = jnp.zeros((in0, in1), jnp.float32)
-    for slot in range(tmap_np.shape[0]):
-        r0 = int(tmap_np[slot, 0]) * t0
-        c0 = int(tmap_np[slot, 1]) * t1
-        zcot_full = lax.dynamic_update_slice(
-            zcot_full,
-            lax.dynamic_slice(zcot_full, (r0, c0), (t0, t1))
-            + zcot_tiles[slot],
-            (r0, c0))
+    zcot_full = _overlap_add_inner_tiles(zcot_tiles, tmap_np, t0, t1,
+                                         in0, in1)
 
     if return_cots:
         return tuple(level_cots), zcot_full
@@ -2449,22 +2480,9 @@ def shadow_backward_replay_fn(z_outer, z_org_r, gmet, ids, aux, sun_table,
 
     s_row = shard_off[0] if traced_assembly else 0
     s_col = shard_off[1] if traced_assembly else 0
-    level_cots = []
-    for p, m in enumerate(levels_meta):
-        k = 2 ** m[0]
-        full = jnp.zeros(padded[p].shape, jnp.float32)
-        for slot in range(tmap_np.shape[0]):
-            a_base = off0 + s_row + int(tmap_np[slot, 0]) * t0
-            b_base = off1 + s_col + int(tmap_np[slot, 1]) * t1
-            src_i_al = ((a_base // k + 2) // 8) * 8
-            src_j_al = ((b_base // k + 2) // 128) * 128
-            full = lax.dynamic_update_slice(
-                full,
-                lax.dynamic_slice(
-                    full, (src_i_al, src_j_al), (m[2], m[3]))
-                + wcots[p][slot],
-                (src_i_al, src_j_al))
-        level_cots.append(full)
+    level_cots = _overlap_add_level_cots(
+        wcots, tmap_np, levels_meta, [a.shape for a in padded],
+        off0, off1, t0, t1, s_row, s_col)
 
     def pyr_fn(z):
         return tuple(_padded_levels(z, pads))
@@ -2472,15 +2490,8 @@ def shadow_backward_replay_fn(z_outer, z_org_r, gmet, ids, aux, sun_table,
     _, vjp_pyr = jax.vjp(pyr_fn, z_outer)
     (dz,) = vjp_pyr(tuple(level_cots))
 
-    dzorg = jnp.zeros((in0, in1), jnp.float32)
-    for slot in range(tmap_np.shape[0]):
-        r0 = int(tmap_np[slot, 0]) * t0
-        c0 = int(tmap_np[slot, 1]) * t1
-        dzorg = lax.dynamic_update_slice(
-            dzorg,
-            lax.dynamic_slice(dzorg, (r0, c0), (t0, t1))
-            + zcot_tiles[slot],
-            (r0, c0))
+    dzorg = _overlap_add_inner_tiles(zcot_tiles, tmap_np, t0, t1,
+                                     in0, in1)
     return dz, dzorg
 
 

@@ -376,3 +376,58 @@ def test_horizon_gridded_band_plan_assembly(monkeypatch):
     sel = mask == 1
     np.testing.assert_array_equal(h_masked[sel], h_dense[sel])
     assert (h_masked[~sel] == -7.0).all()
+
+def test_masked_origin_bbox_shorter_than_inner(monkeypatch):
+    """Regression: an unmasked bbox starting at (0, 0) whose tile-padded
+    block is SHORTER than the inner domain must paste into the full inner
+    frame (slicing the short block used to raise a broadcast error at the
+    final mask fill)."""
+    from horayzon_tpu import horizon as hz
+    from horayzon_tpu.ops import pallas_sweep
+
+    z = gaussian_bumps_terrain(160, 160, seed=5, amp=250.0)
+    in0 = in1 = 96
+    off = 32
+    mask = np.zeros((in0, in1), dtype=np.uint8)
+    mask[:28, :] = 1  # bbox rows (0, 28) -> padded block rows < 96
+
+    monkeypatch.setattr(hz, "_tile_cost_table",
+                        lambda: {(8, 64): 1.1, (16, 64): 1.0,
+                                 (32, 64): 0.95})
+    monkeypatch.setattr(hz, "_on_tpu", lambda: True)
+    orig = pallas_sweep.horizon_sweep_pallas
+    monkeypatch.setattr(
+        pallas_sweep, "horizon_sweep_pallas",
+        lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+
+    vg = _vert_grid_planar(z)
+    vn, vnor = _default_vectors(in0, in1)
+    kw = dict(dist_search=0.7, azim_num=4, hori_acc=0.25, verbose=False,
+              hori_fill=-7.0)
+    h_dense, _ = horizon.horizon_gridded(vg, 160, 160, vn, vnor, off, off,
+                                         **kw)
+    h_masked, _ = horizon.horizon_gridded(vg, 160, 160, vn, vnor, off,
+                                          off, mask=mask, **kw)
+    assert h_masked.shape == h_dense.shape
+    sel = mask == 1
+    np.testing.assert_array_equal(h_masked[sel], h_dense[sel])
+    assert (h_masked[~sel] == -7.0).all()
+
+
+def test_bands_cache_keyed_on_elev_limits():
+    """Regression: horizon_sweep_pallas_bands memoises its jitted program;
+    the key must include the elevation clip limits (a second call with a
+    different elev_ang_low_lim used to silently reuse the first program)."""
+    from horayzon_tpu.ops import pallas_sweep
+
+    z = np.zeros((128, 192), dtype=np.float32)
+    bands = [((0, 0), (16, 64), (8, 64), None)]
+    kw = dict(dx=25.0, dy=25.0, offset=(32, 32), bands=bands, azim_num=4,
+              dist_search=500.0, hori_acc=0.25, interpret=True)
+    out_lo = pallas_sweep.horizon_sweep_pallas_bands(
+        z, elev_ang_low_lim=-15.0, **kw)[0]
+    out_hi = pallas_sweep.horizon_sweep_pallas_bands(
+        z, elev_ang_low_lim=2.0, **kw)[0]
+    # flat terrain: horizon clips to the low limit -> results must differ
+    assert np.allclose(np.asarray(out_hi), np.deg2rad(2.0), atol=1e-5)
+    assert not np.allclose(np.asarray(out_lo), np.asarray(out_hi))
