@@ -394,3 +394,41 @@ def test_azim_padding_equality_on_chip():
         z, a_chunk=1, **kw))
     assert padded.shape == (inner, inner, 359)
     np.testing.assert_array_equal(padded, unpadded)
+
+
+def test_band_decomposition_on_chip():
+    """Row-band masked decomposition (horizon_sweep_pallas_bands) at real
+    tile shapes: every band's in-domain unmasked cells must be bit-equal
+    to the dense run (one pyramid build feeding several re-based kernel
+    launches, per-band mask-aware init, shared jitted program)."""
+    _require_tpu()
+    import jax.numpy as jnp
+
+    from horayzon_tpu.ops import pallas_sweep
+
+    dx, dist, acc = 25.0, 10000.0, 0.25
+    inner, halo = 512, 448
+    n = inner + 2 * halo
+    z = jnp.asarray(_bump_terrain(n, seed=23))
+    kw = dict(dx=dx, dy=-dx, dist_search=dist, hori_acc=acc, azim_num=8)
+    dense = np.asarray(pallas_sweep.horizon_sweep_pallas(
+        z, offset=(halo, halo), inner_shape=(inner, inner),
+        tile=(128, 512), **kw))
+
+    tile = (128, 256)
+    band0_mask = np.ones((128, 512), dtype=np.uint8)
+    band0_mask[:, 300:] = 0  # partially masked band: mask-aware init runs
+    bands = [((0, 0), (128, 512), tile, band0_mask),
+             ((256, 128), (128, 256), tile, None)]
+    outs = pallas_sweep.horizon_sweep_pallas_bands(
+        z, offset=(halo, halo), bands=bands, **kw)
+    for (blk0, shape, _t, bmask), ob in zip(bands, outs):
+        ob = np.asarray(ob)
+        assert ob.shape == shape + (8,)
+        d_blk = dense[blk0[0]:blk0[0] + shape[0],
+                      blk0[1]:blk0[1] + shape[1]]
+        if bmask is None:
+            np.testing.assert_array_equal(ob, d_blk)
+        else:
+            sel = bmask == 1
+            np.testing.assert_array_equal(ob[sel], d_blk[sel])
